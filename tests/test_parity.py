@@ -1,0 +1,28 @@
+"""Differential tests: every registered parity query vs its DuckDB oracle.
+
+Runs at sf0.001 by default (fast); the driver's own gate runs at sf0.01.
+Set QCFLOW_TEST_SF_DIR=/root/testdata/sf0.01 to mirror the driver exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from qcflow.parity import ORACLES, QUERIES
+from tests.oracle import compare, run_oracle
+
+CASES = sorted(ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spark_df = QUERIES[name](spark, sf_dir)
+    oracle_pdf = run_oracle(ORACLES[name], sf_dir)
+    problems = compare(spark_df, oracle_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_without_oracle_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
