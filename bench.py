@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Times the headline set at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+- ``qc_pipeline``: the flagship clip QC run (features + langid/perplexity
+  UDF + derived thresholds + rules + scrub + metrics + bucket-partitioned
+  outputs) over a cached deterministic 20k-clip table -> clips/sec.
+- the heavier parity queries over the sf star schema, forced through a
+  noop sink so the full plan executes.
+
+Extra keys (clips_per_sec, cpus, rows) ride along; the driver reads
+metric/value/unit/queries/sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_CLIP_ROWS = int(os.environ.get("QCFLOW_BENCH_CLIP_ROWS", "20000"))
+CLIPS_CACHE = f"/root/repo/.cache/clips_bench{BENCH_CLIP_ROWS}"
+
+PARITY_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "j2_pairmatch_band_join",
+    "p8_datediff",
+    "a8_percentile_thresholds",
+    "doc_qc_flags",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from qcflow.parity import QUERIES
+    from qcflow.session import get_spark
+    from qcflow.synth import generate_clips
+
+    spark = get_spark("qcflow-bench", cpus=cpus)
+
+    if not os.path.exists(f"{CLIPS_CACHE}/clips.parquet/_SUCCESS"):
+        generate_clips(spark, BENCH_CLIP_ROWS, CLIPS_CACHE, partitions=cpus * 2)
+
+    queries: dict[str, float] = {}
+
+    # --- flagship QC pipeline -------------------------------------------
+    from qcflow.pipeline import score_clips, write_outputs
+
+    out_dir = f"/tmp/qcflow_bench_out_{os.getpid()}"
+    clips = spark.read.parquet(f"{CLIPS_CACHE}/clips.parquet")
+    t0 = time.time()
+    res = score_clips(spark, clips, exact_thresholds=True)
+    counts = write_outputs(res, out_dir)
+    qc_sec = time.time() - t0
+    res.scored.unpersist()
+    queries["qc_pipeline"] = round(qc_sec, 3)
+    clips_per_sec = BENCH_CLIP_ROWS / qc_sec
+
+    # --- parity queries over the star schema ----------------------------
+    for name in PARITY_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "clips_per_sec": round(clips_per_sec, 1),
+                "clip_rows": BENCH_CLIP_ROWS,
+                "n_kept": counts["n_kept"],
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

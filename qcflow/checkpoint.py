@@ -1,0 +1,139 @@
+"""Snapshot checkpoint / resume over bucket manifests.
+
+Iceberg snapshots are the production mechanism (BASELINE.json north_star);
+the runtime jar is not available in this sandbox, so the same semantics are
+implemented over parquet: the lineage table (one row per clip_id-hash
+bucket) IS the manifest. A resumed run:
+
+  1. loads the saved thresholds (derived from the FULL input on the first
+     attempt — resuming must not re-derive them from a partial subset, or
+     labels would drift between attempts),
+  2. anti-joins the completed buckets out of the input (J1b pattern),
+  3. appends kept/dropped/lineage for the remaining buckets only,
+  4. finalizes metrics side tables from the materialized outputs.
+
+Bucket = pmod(xxhash64(clip_id), n_buckets): stable across cluster sizes
+and restarts, so a manifest written at N executors resumes correctly at 4N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcflow.pipeline import (
+    DROP_COLS,
+    KEEP_COLS,
+    N_BUCKETS,
+    bucket_col,
+    score_clips,
+)
+from qcflow.rules import Thresholds, derive_thresholds
+from qcflow.summary import conf_histogram
+from qcflow.features import clip_features
+from qcflow.udfs import with_langid_ppl
+
+
+def _thr_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "thresholds.json")
+
+
+def save_thresholds(thr: Thresholds, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_thr_path(out_dir), "w") as f:
+        json.dump(thr.__dict__, f)
+
+
+def load_thresholds(out_dir: str) -> Thresholds | None:
+    p = _thr_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return Thresholds(**json.load(f))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
+    path = f"{out_dir}/lineage.parquet"
+    try:
+        return [
+            r["bucket"] for r in spark.read.parquet(path).select("bucket").collect()
+        ]
+    except Exception:
+        return []
+
+
+def run_resumable(
+    spark: SparkSession,
+    clips_path: str,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS,
+    exact_thresholds: bool = True,
+    max_buckets: int | None = None,
+) -> dict:
+    """Process all not-yet-completed buckets (optionally capped at
+    ``max_buckets`` — the test hook that simulates a mid-run kill).
+    Idempotent: a completed run is a no-op."""
+    clips = spark.read.parquet(clips_path)
+
+    thr = load_thresholds(out_dir)
+    if thr is None:
+        feats = with_langid_ppl(clip_features(clips.drop("bytes")), spark)
+        thr = derive_thresholds(feats, exact=exact_thresholds)
+        save_thresholds(thr, out_dir)
+
+    done = set(completed_buckets(spark, out_dir))
+    todo = sorted(set(range(n_buckets)) - done)
+    if max_buckets is not None:
+        todo = todo[:max_buckets]
+    if not todo:
+        return {"processed_buckets": 0, "remaining": 0}
+
+    subset = clips.withColumn("bucket", bucket_col(n_buckets)).filter(
+        F.col("bucket").isin(todo)
+    ).drop("bucket")
+    res = score_clips(
+        spark, subset, thresholds=thr, n_buckets=n_buckets
+    )
+    scored = res.scored
+    scored.filter(F.col("keep")).select(*KEEP_COLS).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{out_dir}/kept.parquet")
+    scored.filter(~F.col("keep")).select(*DROP_COLS).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{out_dir}/dropped.parquet")
+    lin = scored.groupBy("bucket").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+    lin.write.mode("append").parquet(f"{out_dir}/lineage.parquet")
+    scored.unpersist()
+    remaining = n_buckets - len(done) - len(todo)
+    if remaining == 0:
+        finalize_metrics(spark, out_dir)
+    return {"processed_buckets": len(todo), "remaining": remaining}
+
+
+def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
+    """Recompute metrics side tables from the materialized outputs —
+    correct regardless of how many attempts produced them."""
+    dropped = spark.read.parquet(f"{out_dir}/dropped.parquet")
+    kept = spark.read.parquet(f"{out_dir}/kept.parquet")
+    (
+        dropped.select(
+            "lang", F.explode(F.split("drop_reasons", ",")).alias("drop_reason")
+        )
+        .groupBy("lang", "drop_reason")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/metrics_drop_reasons.parquet")
+    )
+    scored_conf = kept.select("lang", "lang_conf").unionByName(
+        dropped.select("lang", "lang_conf")
+    )
+    conf_histogram(scored_conf).write.mode("overwrite").parquet(
+        f"{out_dir}/metrics_lang_conf.parquet"
+    )

@@ -1,0 +1,125 @@
+"""End-to-end QC pipeline composition (the north-rule flagship).
+
+Stages (lazy; one physical pass over the data per output, with the scored
+frame persisted once — the single most important physical decision when
+~5 downstream aggregates share it, SURVEY §4):
+
+  read clips
+    -> explicit clip_id-hash bucketing (the unit of parallelism & resume)
+    -> transcript features            [column expressions, codegen]
+    -> langid + perplexity            [ONE Arrow crossing]
+    -> optional PCM consistency       [byte-length column expressions]
+    -> thresholds (derived once, globally — exact or sketch)
+    -> rule engine -> keep / drop_reasons
+    -> scrub                          [regexp_replace chain]
+  outputs: kept / dropped parquet (bucket-partitioned), metrics side
+  tables (drop-reason histogram, langid-confidence histogram), lineage
+  rows per bucket (input/kept/dropped counts) — the resume manifest.
+
+Scale notes: `bytes` is pruned out of every path unless the PCM stage is
+on (verify with .explain: ReadSchema excludes it). Buckets are
+pmod(xxhash64(clip_id), n_buckets) — stable across cluster sizes, so
+lineage and resume are parallelism-independent. Skewed language buckets
+only matter to the metrics aggregates, whose keys include lang; the salt
+is the bucket id already present in the group key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcflow.features import clip_features, pcm_consistency
+from qcflow.rules import Thresholds, apply_rules, derive_thresholds
+from qcflow.scrub import scrub
+from qcflow.summary import conf_histogram, drop_reason_histogram
+from qcflow.udfs import with_langid_ppl
+
+N_BUCKETS = 64
+
+
+@dataclass
+class QcResult:
+    scored: DataFrame  # full frame: features + lang + rules + scrub
+    thresholds: Thresholds
+
+
+def bucket_col(n_buckets: int = N_BUCKETS):
+    return F.pmod(F.xxhash64("clip_id"), F.lit(n_buckets)).cast("int")
+
+
+def score_clips(
+    spark: SparkSession,
+    clips: DataFrame,
+    exact_thresholds: bool = True,
+    check_pcm: bool = False,
+    n_buckets: int = N_BUCKETS,
+    thresholds: Thresholds | None = None,
+) -> QcResult:
+    """Run features + models + rules + scrub; returns the scored frame
+    (persisted) and the derived thresholds."""
+    df = clips.withColumn("bucket", bucket_col(n_buckets))
+    if check_pcm:
+        df = pcm_consistency(df)
+    else:
+        # Binary column discipline: never carry `bytes` past the scan.
+        df = df.drop("bytes")
+    df = clip_features(df)
+    df = with_langid_ppl(df, spark)
+    # The UDF output feeds both threshold derivation and the rule pass —
+    # persist so the Python stage runs once, not once per downstream action.
+    df = df.persist()
+    thr = thresholds or derive_thresholds(df, exact=exact_thresholds)
+    extra = []
+    if check_pcm:
+        extra.append(("pcm_inconsistent", F.col("pcm_inconsistent")))
+    flagged = apply_rules(df, thr, extra_rules=extra)
+    flagged = scrub(flagged)
+    return QcResult(scored=flagged, thresholds=thr)
+
+
+KEEP_COLS = [
+    "clip_id",
+    "bucket",
+    "sr_hz",
+    "dur_ms",
+    "codec",
+    "lang",
+    "lang_conf",
+    "perplexity",
+    "scrubbed_transcript",
+]
+DROP_COLS = ["clip_id", "bucket", "lang", "lang_conf", "drop_reasons"]
+
+
+def lineage(scored: DataFrame) -> DataFrame:
+    """Per-bucket lineage row: input/kept/dropped counts (resume manifest)."""
+    return scored.groupBy("bucket").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
+    """Materialize kept/dropped/metrics/lineage. Returns counts."""
+    scored = res.scored
+    kept = scored.filter(F.col("keep")).select(*KEEP_COLS)
+    dropped = scored.filter(~F.col("keep")).select(*DROP_COLS)
+    kept.write.mode(mode).partitionBy("bucket").parquet(f"{out_dir}/kept.parquet")
+    dropped.write.mode(mode).partitionBy("bucket").parquet(f"{out_dir}/dropped.parquet")
+    drop_reason_histogram(scored, "lang").write.mode(mode).parquet(
+        f"{out_dir}/metrics_drop_reasons.parquet"
+    )
+    conf_histogram(scored).write.mode(mode).parquet(
+        f"{out_dir}/metrics_lang_conf.parquet"
+    )
+    lin = lineage(scored)
+    lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
+    counts = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    return {"n_input": counts["n"], "n_kept": int(counts["kept"] or 0)}

@@ -1,0 +1,92 @@
+"""Property tests (hypothesis) for the pure-Python kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from qcflow import audio
+from qcflow.models import V_BUCKETS, char_classes, train_models, trigram_hashes
+from qcflow.scrub import scrub_text
+
+text_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=300
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_scrub_idempotent(s):
+    once = scrub_text(s)
+    assert scrub_text(once) == once
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_trigram_hashes_in_range(s):
+    h = trigram_hashes(s)
+    assert ((h >= 0) & (h < V_BUCKETS)).all()
+    n = len(s.encode("utf-8", "ignore"))
+    assert len(h) == max(n - 2, 0)
+
+
+@given(text_st)
+@settings(max_examples=100, deadline=None)
+def test_char_classes_range(s):
+    c = char_classes(s)
+    assert ((c >= 0) & (c < 32)).all()
+
+
+@given(st.integers(0, 10_000), st.integers(10, 5000))
+@settings(max_examples=30, deadline=None)
+def test_codec_roundtrip_snr(idx, n):
+    x = audio.synth_wave(idx, n, 8000)
+    assert audio.snr_db(x, audio.pcm16_decode(audio.pcm16_encode(x))) >= 60
+    assert audio.snr_db(x, audio.ulaw_decode(audio.ulaw_encode(x))) >= 30
+
+
+@given(st.lists(st.floats(-0.999, 0.999, allow_nan=False), min_size=8, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_ulaw_monotone_safe(vals):
+    """ulaw decode(encode(x)) stays within quantization error of x."""
+    x = np.array(vals, dtype=np.float32)
+    y = audio.ulaw_decode(audio.ulaw_encode(x))
+    assert len(y) == len(x)
+    assert float(np.max(np.abs(y - x))) < 0.04  # worst-case mu-law step
+
+
+def test_langid_deterministic_across_calls():
+    m1 = train_models(1234)
+    m2 = train_models.__wrapped__(1234)  # bypass lru_cache: retrain
+    assert np.array_equal(m1.langid_w, m2.langid_w)
+    assert np.array_equal(m1.bigram_lp, m2.bigram_lp)
+
+
+def test_nan_never_flags(spark):
+    """§1.2 trap: a NULL feature must not fire a rule (reference parity)."""
+    import pandas as pd
+
+    from qcflow.features import clip_features
+    from qcflow.rules import Thresholds, apply_rules
+
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["a", "b"],
+            "sr_hz": [16000, 16000],
+            "dur_ms": [1000, 1000],
+            "codec": ["pcm16", "pcm16"],
+            # row a: normal text; row b: empty -> NULL distinct_ratio/cps
+            "transcript": ["ka tiru ka ruti katu", ""],
+        }
+    )
+    df = clip_features(spark.createDataFrame(pdf))
+    df = df.withColumn("lang_conf", df.dur_ms * 0 + 0.9).withColumn(
+        "perplexity", df.dur_ms * 0 + 5.0
+    )
+    thr = Thresholds(repetition_lo=0.1, cps_lo=1.0, cps_hi=100.0, ppl_hi=50.0)
+    out = {r["clip_id"]: r["drop_reasons"] for r in apply_rules(df, thr).collect()}
+    assert out["a"] == ""
+    # empty transcript flags ONLY empty_transcript — the NULL-featured rules
+    # (repetition, length_mismatch, symbol density) must stay silent
+    assert out["b"] == "empty_transcript"

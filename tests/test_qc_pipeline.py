@@ -1,0 +1,164 @@
+"""Flagship QC pipeline vs the independent pandas reference labeler.
+
+BASELINE.json targets: keep/drop F1 >= 0.99; per-row transcript equality
+post-scrub; per-row PCM invariant (SNR >= 30 dB); partition-count
+invariance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from qcflow import synth
+from qcflow.pipeline import score_clips
+from qcflow.reference_labeler import label
+
+CACHE = "/root/repo/.cache/clips_t2k"
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="session")
+def clips_dir(spark):
+    if not os.path.exists(f"{CACHE}/clips.parquet/_SUCCESS"):
+        synth.generate_clips(spark, N_ROWS, CACHE, partitions=8)
+    return CACHE
+
+
+@pytest.fixture(scope="session")
+def scored(spark, clips_dir):
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
+    res = score_clips(spark, clips, exact_thresholds=True)
+    pdf = res.scored.toPandas().sort_values("clip_id").reset_index(drop=True)
+    yield pdf, res.thresholds
+
+
+@pytest.fixture(scope="session")
+def ref_labels(spark, clips_dir):
+    clips = (
+        spark.read.parquet(f"{clips_dir}/clips.parquet")
+        .drop("bytes")
+        .toPandas()
+    )
+    return label(clips).sort_values("clip_id").reset_index(drop=True)
+
+
+def test_keep_f1(scored, ref_labels):
+    got, _ = scored
+    merged = got.merge(ref_labels, on="clip_id", suffixes=("", "_ref"))
+    assert len(merged) == N_ROWS
+    tp = ((merged.keep) & (merged.keep_ref)).sum()
+    fp = ((merged.keep) & (~merged.keep_ref)).sum()
+    fn = ((~merged.keep) & (merged.keep_ref)).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} < 0.99 (fp={fp}, fn={fn})"
+    # stronger than the target: reasons should agree exactly
+    mism = (merged.drop_reasons != merged.drop_reasons_ref).sum()
+    assert mism <= N_ROWS * 0.01, f"{mism} rows differ in drop_reasons"
+
+
+def test_lang_and_scrub_parity(scored, ref_labels):
+    got, _ = scored
+    merged = got.merge(ref_labels, on="clip_id", suffixes=("", "_ref"))
+    assert (merged.lang == merged.lang_ref).all()
+    assert np.allclose(merged.lang_conf, merged.lang_conf_ref, atol=1e-9)
+    assert np.allclose(merged.perplexity, merged.perplexity_ref, rtol=1e-9)
+    # per-row transcript invariant: exact equality post-scrub
+    s = merged.scrubbed_transcript.fillna("")
+    r = merged.scrubbed_transcript_ref.fillna("")
+    assert (s == r).all()
+
+
+def test_langid_quality_vs_truth(spark, clips_dir, scored):
+    """The model itself must be good: predicted lang == generator truth on
+    clean kept rows."""
+    got, _ = scored
+    meta = spark.read.parquet(f"{clips_dir}/clips_meta.parquet").toPandas()
+    m = got.merge(meta, on="clip_id")
+    clean = m[(m.planted == "") & (m.keep)]
+    acc = (clean.lang == clean.true_lang).mean()
+    assert acc >= 0.99, f"langid accuracy vs truth {acc:.4f}"
+
+
+def test_planted_defect_recall(spark, clips_dir, scored):
+    """Planted structural defects must be dropped with the right reason."""
+    got, _ = scored
+    meta = spark.read.parquet(f"{clips_dir}/clips_meta.parquet").toPandas()
+    m = got.merge(meta, on="clip_id")
+    expect = {
+        "invalid_sr": "invalid_sr",
+        "short_dur": "bad_duration",
+        "long_dur": "bad_duration",
+        "unknown_codec": "unknown_codec",
+        "empty_transcript": "empty_transcript",
+        "high_repetition": "high_repetition",
+    }
+    for planted, reason in expect.items():
+        sub = m[m.planted.str.contains(planted)]
+        assert len(sub) > 0
+        hit = sub.drop_reasons.str.contains(reason).mean()
+        assert hit == 1.0, f"{planted}: only {hit:.2%} flagged {reason}"
+
+
+def test_scrub_removes_pii(spark, clips_dir, scored):
+    got, _ = scored
+    meta = spark.read.parquet(f"{clips_dir}/clips_meta.parquet").toPandas()
+    m = got.merge(meta, on="clip_id")
+    pii = m[m.planted.str.contains("pii")]
+    assert len(pii) > 0
+    for tok in synth.PII_EMAILS + synth.PII_PHONES + synth.PII_IDS:
+        assert not pii.scrubbed_transcript.str.contains(tok, regex=False).any(), tok
+    # every planted-PII transcript must contain a scrub placeholder
+    assert pii.scrubbed_transcript.str.contains("<EMAIL>|<PHONE>|<ID>").all()
+    tox = m[m.planted.str.contains("tox")]
+    for w in synth.TOX_WORDS:
+        assert not tox.scrubbed_transcript.str.contains(rf"\b{w}\b", regex=True).any()
+
+
+def test_partition_invariance(spark, clips_dir, scored):
+    """Same outputs at a different parallelism (determinism requirement —
+    doubles as the scaling-run correctness check)."""
+    got, thr = scored
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet").repartition(3)
+    res2 = score_clips(spark, clips, exact_thresholds=True)
+    got2 = res2.scored.toPandas().sort_values("clip_id").reset_index(drop=True)
+    assert thr == res2.thresholds
+    pd.testing.assert_series_equal(got.keep, got2.keep)
+    pd.testing.assert_series_equal(got.drop_reasons, got2.drop_reasons)
+
+
+def test_pcm_snr_invariant(spark, clips_dir):
+    """Decoded PCM vs re-synthesized original: SNR >= 30 dB on every
+    decodable clip (pcm16 ~87 dB, ulaw ~37 dB)."""
+    from qcflow.udfs import with_snr
+
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet").limit(300)
+    snr = with_snr(clips).select("clip_id", "codec", "snr_db").toPandas()
+    dec = snr[snr.codec.isin(["pcm16", "ulaw"])]
+    assert len(dec) > 100
+    # planted pcm_inconsistent rows have truncated/extended waves; the
+    # overlapping prefix still matches, so SNR holds there too
+    assert (dec.snr_db >= 30.0).all(), dec[dec.snr_db < 30].head()
+
+
+def test_pcm_consistency_flags(spark, clips_dir):
+    from qcflow.pipeline import score_clips
+
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
+    res = score_clips(spark, clips, check_pcm=True)
+    got = res.scored.select("clip_id", "drop_reasons").toPandas()
+    meta = spark.read.parquet(f"{clips_dir}/clips_meta.parquet").toPandas()
+    m = got.merge(meta, on="clip_id")
+    # invalid-sr rows have NULL pcm duration -> NaN never flags (by design)
+    planted = m[
+        m.planted.str.contains("pcm_inconsistent")
+        & ~m.planted.str.contains("invalid_sr")
+    ]
+    assert len(planted) > 0
+    assert planted.drop_reasons.str.contains("pcm_inconsistent").all()
+    # and clean valid-sr clips must NOT be flagged pcm_inconsistent
+    clean = m[(m.planted == "")]
+    assert not clean.drop_reasons.str.contains("pcm_inconsistent").any()
