@@ -16,3 +16,4 @@ from qcflow.parity import dedup  # noqa: F401, E402
 from qcflow.parity import similarity  # noqa: F401, E402
 from qcflow.parity import text  # noqa: F401, E402
 from qcflow.parity import docqc  # noqa: F401, E402
+from qcflow.parity import multimodal_q  # noqa: F401, E402

@@ -1,1 +1,457 @@
-"""(stub — filled in incrementally)"""
+"""Deduplication operators over the `documents` table.
+
+The driver corpus has no natural duplicates, so every query plants them
+deterministically INSIDE the query (union of exact/truncated copies for a
+fixed doc_id slice) — both engines build the identical corpus, so the
+oracle checks the full dedup computation, not fixture luck.
+
+Shared-arithmetic convention: anything that must hash identically in Spark
+and DuckDB uses explicit integer arithmetic (polynomial rolling hash mod
+1e9+7) rather than engine-native hash functions. Spark-native xxhash64 is
+used only where the oracle verifies the *output* (LSH candidates are
+verified with exact Jaccard, so the oracle never needs Spark's hash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcflow.parity.registry import query, t
+
+# ---------------------------------------------------------------- corpora
+
+_SQL_CORPUS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+_SQL_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, greatest(length(text) - 20, 1)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 20, 1))").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+# shingle array (distinct word 3-grams) as a SQL expression usable in both
+_SPARK_SHINGLES = """
+  array_distinct(
+    CASE WHEN size(toks) >= 3
+         THEN transform(sequence(0, size(toks) - 3),
+                        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+         ELSE toks END)
+"""
+
+_SQL_SHINGLES = """
+  list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE toks END)
+"""
+
+
+def _with_shingles(corpus: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    return corpus.withColumn("toks", toks).withColumn(
+        "shingles", F.expr(_SPARK_SHINGLES)
+    )
+
+
+def _sql_shingled(corpus_sql: str) -> str:
+    return f"""
+    SELECT doc_id, {_SQL_SHINGLES} AS shingles
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM ({corpus_sql}))
+    """
+
+
+# ------------------------------------------------------------ exact dedup
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM ({_SQL_CORPUS_EXACT})
+    GROUP BY text HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest id. At scale
+    group on xxhash64(text) first (shuffle 8-byte keys, not documents) and
+    only compare full text within colliding hash groups; here the direct
+    groupBy keeps the oracle exact."""
+    corpus = _corpus_exact(spark, sf_dir)
+    return (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+    )
+
+
+# --------------------------------------------------- n-gram Jaccard dedup
+
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM ({_sql_shingled(_SQL_CORPUS_NEAR)})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {{thr}}
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SQL_JACCARD_PAIRS.format(thr=0.5),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram shingles -> inverted-index
+    self-join (join on shingle, never a cross join) -> Jaccard >= 0.5.
+    The shuffle key is the shingle, so co-occurring docs meet without
+    materializing the O(n^2) pair space."""
+    sh = _with_shingles(_corpus_near(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ------------------------------------------------------- MinHash-LSH dedup
+
+_MH_K = 64  # signature length
+_MH_B, _MH_R = 16, 4  # bands x rows
+_MH_P = 4_294_967_311  # prime > 2^32
+_rng = np.random.default_rng(97)
+_MH_A = _rng.integers(1, 1 << 30, _MH_K).tolist()
+_MH_B_COEF = _rng.integers(0, 1 << 30, _MH_K).tolist()
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SQL_JACCARD_PAIRS.format(thr=0.7),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+
+    shingle -> xxhash64 -> 64 universal-hash minima (one array expression,
+    no UDF) -> 16 bands of 4 -> self-join per band bucket -> distinct
+    candidate pairs -> exact Jaccard filter >= 0.7. The oracle is the exact
+    pairwise Jaccard; LSH with these parameters has recall ~1 above 0.7
+    (miss prob (1-j^4)^16 < 1e-7 at j=0.9). At scale the band join shuffles
+    only (band_id, 8-byte bucket) keys; the O(n^2) space is never formed."""
+    shingled = _with_shingles(_corpus_near(spark, sf_dir)).select(
+        "doc_id", "shingles"
+    )
+    hs = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    def _minhash(a: int, b: int):
+        def fn(h):
+            return F.pmod(h * a + b, F.lit(_MH_P))
+
+        return fn
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hs"), _minhash(_MH_A[k], _MH_B_COEF[k])))
+        for k in range(_MH_K)
+    ]
+    sigs = shingled.withColumn("hs", hs).select(
+        "doc_id", "shingles", F.array(*sig_cols).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[j * _MH_R + r].cast("string")
+                                    for r in range(_MH_R)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for j in range(_MH_B)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+# ------------------------------------------------------------ SimHash dedup
+
+_SH_BITS = 24
+_SH_BANDS, _SH_BAND_BITS = 4, 6
+_SH_HAM_MAX = 3
+
+# shared polynomial token hash (identical integer arithmetic in both engines)
+_SPARK_TOKHASH = (
+    "aggregate(sequence(1, length(tok)), 0L,"
+    " (acc, i) -> (acc * 31 + ascii(substring(tok, i, 1))) % 1000000007)"
+)
+_SQL_TOKHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(tok) + 1),"
+    " i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),"
+    " (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_SH_BITS)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    return f"""
+    WITH tok_rows AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM ({_SQL_CORPUS_NEAR})
+    ),
+    hashed AS (SELECT doc_id, {_SQL_TOKHASH} AS h FROM tok_rows),
+    bitsum AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {recompose} AS simhash FROM bitsum
+    """
+
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    tok_rows = corpus.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    ).withColumn("h", F.expr(_SPARK_TOKHASH))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(_SH_BITS)
+    ]
+    bitsum = tok_rows.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(_SH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return bitsum.select("doc_id", sim.alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_sql_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (24-bit, shared-arithmetic token hash) — the
+    oracle recomputes the identical signature in SQL, so this checks the
+    whole bit-vote construction bit-for-bit."""
+    return _spark_simhash(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_sql_simhash()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAM_MAX}
+      AND b.doc_id = a.doc_id + 100000
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 bands x 6 bits; Hamming<=3
+    guarantees >=1 clean band (pigeonhole), so banded candidates have
+    recall 1 within the radius. Restricted to planted (orig, copy) pairs so
+    the oracle can use the O(n^2) form while Spark stays on the banded
+    join; the band-bucket join is the scale path."""
+    sh = _spark_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(simhash >> {j * _SH_BAND_BITS}) & {(1 << _SH_BAND_BITS) - 1}"
+                        ).alias("bucket"),
+                    )
+                    for j in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 100000),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SH_HAM_MAX)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup pairs
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS emb
+      FROM embeddings WHERE vec_id % 11 = 0
+    ),
+    norms AS (
+      SELECT vec_id, emb,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(emb, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_zip(a.emb, b.emb),
+                                p -> p[1] * p[2])), (acc, x) -> acc + x)
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM norms a JOIN norms b ON b.vec_id = a.vec_id + 100000
+    WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2])),
+          (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: planted scaled copies must be found at cosine
+    >= 0.99. Join is on the planted key here (the oracle needs a closed
+    form); the unrestricted scale path is ann_lsh_bucketed in
+    similarity.py. Dot/norm folds are sequential in both engines, so the
+    doubles agree bit-for-bit before rounding."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    copies = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2.0).alias("emb"),
+    )
+    corpus = base.unionByName(copies)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("emb"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = corpus.withColumn("nrm", nrm)
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 100000)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.99)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
+    )

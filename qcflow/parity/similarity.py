@@ -1,1 +1,173 @@
-"""(stub — filled in incrementally)"""
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Both engines compute cosine with the same sequential fold (array order), so
+doubles agree bit-for-bit and rank order is identical — the oracle checks
+the actual ANN outputs, not a tolerance band.
+
+- brute-force top-k: the exactness baseline. O(Q*N); broadcast the Q side.
+- LSH-bucketed: random-hyperplane signs -> bucket equi-join -> rerank.
+  The hyperplanes are seeded-numpy literals inlined into BOTH dialects.
+  At scale this is the path: the candidate join shuffles (bucket, id)
+  pairs, never the O(Q*N) cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qcflow.parity.registry import query, t
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5
+N_PLANES = 6  # 64 buckets
+
+_planes = np.round(
+    np.random.default_rng(4242).normal(0, 1, (N_PLANES, 64)), 6
+)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+_SQL_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(emb, x -> x * x)), (acc, x) -> acc + x))"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_EMB} AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, {_SQL_NORM} AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="q.emb", b="c.emb")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN baseline: broadcast the (tiny) query side against every
+    candidate, window top-k per query with a full tie-break."""
+    emb = _emb_double(t(spark, sf_dir, "embeddings"))
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    n = emb.withColumn("nrm", nrm)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+def _sql_plane_literal(h: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _planes[h]) + "]"
+
+
+def _sql_bucket_expr() -> str:
+    terms = []
+    for h in range(N_PLANES):
+        proj = _SQL_DOT.format(a="emb", b=_sql_plane_literal(h))
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << h} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _spark_bucket_expr() -> Column:
+    total = F.lit(0)
+    for h in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _planes[h]])
+        proj = _dot(F.col("emb"), plane)
+        total = total + F.when(proj > 0, F.lit(1 << h)).otherwise(F.lit(0))
+    return total
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_EMB} AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, {_SQL_NORM} AS nrm, {_sql_bucket_expr()} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="q.emb", b="c.emb")} / (q.nrm * c.nrm) AS cos
+      FROM n q JOIN n c ON q.bucket = c.bucket
+       AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 1
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: 6 random-hyperplane sign bits -> 64 buckets ->
+    candidates only within the query's bucket -> exact rerank, top-1.
+    The bucket equi-join replaces the cross product; at 10^9 vectors the
+    shuffle key is (bucket), and rerank fan-in is n/buckets per query."""
+    emb = _emb_double(t(spark, sf_dir, "embeddings"))
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    n = emb.withColumn("nrm", nrm).withColumn("bucket", _spark_bucket_expr())
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        n.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )

@@ -1,1 +1,201 @@
-"""(stub — filled in incrementally)"""
+"""Text-analysis operators over the `documents` table.
+
+Language-ID heuristic (marker-token ratio), composite quality scoring,
+token counting (whitespace + BPE-ish regex), and polynomial document
+fingerprinting (rolling-window min-hash, winnowing-style). All pure column
+expressions with exact DuckDB twins. The *trained* langid model runs over
+the clip table (qcflow.udfs); this heuristic is the SQL-expressible tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qcflow.parity.registry import query, t
+
+MARKERS = ("the", "a")
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _toks():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKS}) AS n_tokens,
+             len(list_filter({_SQL_TOKS}, x -> x IN ('the', 'a'))) AS n_markers
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN n_tokens > 0 THEN CAST(n_markers AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS marker_ratio,
+           CASE WHEN n_tokens > 0 AND CAST(n_markers AS DOUBLE) / n_tokens > 0.03
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM f
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker heuristic language ID: ratio of language-marker tokens.
+    The cheap pre-filter tier before the trained model (route only
+    low-margin rows to the UDF at scale)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_markers = F.size(F.filter(toks, lambda x: x.isin(*MARKERS)))
+    ratio = F.when(n_tokens > 0, n_markers.cast("double") / n_tokens).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ratio.alias("marker_ratio"),
+        F.when(ratio > 0.03, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_SQL_TOKS}) AS n_tokens,
+             len(list_distinct({_SQL_TOKS})) AS n_distinct,
+             length(text) AS n_len,
+             length(regexp_replace(text, '[a-z .]', '', 'g')) AS n_sym
+      FROM documents)
+    SELECT doc_id,
+           0.4 * LEAST(CAST(n_len AS DOUBLE) / 300.0, 1.0)
+           + 0.4 * (CASE WHEN n_tokens > 0
+                         THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END)
+           + 0.2 * (1.0 - LEAST(CAST(n_sym AS DOUBLE) / GREATEST(n_len, 1) * 10.0, 1.0))
+             AS quality,
+           CASE WHEN 0.4 * LEAST(CAST(n_len AS DOUBLE) / 300.0, 1.0)
+                     + 0.4 * (CASE WHEN n_tokens > 0
+                                   THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END)
+                     + 0.2 * (1.0 - LEAST(CAST(n_sym AS DOUBLE) / GREATEST(n_len, 1) * 10.0, 1.0))
+                     >= 0.6 THEN 'high'
+                WHEN 0.4 * LEAST(CAST(n_len AS DOUBLE) / 300.0, 1.0)
+                     + 0.4 * (CASE WHEN n_tokens > 0
+                                   THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END)
+                     + 0.2 * (1.0 - LEAST(CAST(n_sym AS DOUBLE) / GREATEST(n_len, 1) * 10.0, 1.0))
+                     >= 0.45 THEN 'medium'
+                ELSE 'low' END AS tier
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + lexical diversity +
+    symbol-density penalty, tiered high/medium/low."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_len = F.length("text")
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[a-z .]", ""))
+    quality = (
+        0.4 * F.least(n_len.cast("double") / 300.0, F.lit(1.0))
+        + 0.4
+        * F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens).otherwise(0.0)
+        + 0.2
+        * (
+            1.0
+            - F.least(
+                n_sym.cast("double") / F.greatest(n_len, F.lit(1)) * 10.0, F.lit(1.0)
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.when(quality >= 0.6, "high")
+        .when(quality >= 0.45, "medium")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           CASE WHEN len({_SQL_TOKS}) > 0
+                THEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len({_SQL_TOKS})
+                ELSE 0.0 END AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs / digit runs / single symbols) + mean token length."""
+    docs = t(spark, sf_dir, "documents")
+    toks = _toks()
+    n_ws = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    avg_len = F.when(
+        n_ws > 0,
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_ws,
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        avg_len.alias("avg_token_len"),
+    )
+
+
+_SPARK_DOCHASH = (
+    "aggregate(sequence(1, length(text)), 0L,"
+    " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"
+)
+_SQL_DOCHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(text) + 1),"
+    " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
+    " (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_WIN = 16
+_SPARK_WINHASH = (
+    f"CASE WHEN length(text) >= {_WIN} THEN"
+    f" array_min(transform(sequence(1, length(text) - {_WIN - 1}),"
+    f" j -> aggregate(sequence(j, j + {_WIN - 1}), 0L,"
+    " (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)))"
+    f" ELSE {_SPARK_DOCHASH} END"
+)
+_SQL_WINHASH = (
+    f"CASE WHEN length(text) >= {_WIN} THEN"
+    f" list_min(list_transform(range(1, length(text) - {_WIN - 2}),"
+    f" j -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(range(j, j + {_WIN}),"
+    " i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),"
+    " (acc, x) -> (acc * 31 + x) % 1000000007)))"
+    f" ELSE {_SQL_DOCHASH} END"
+)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_DOCHASH} AS fingerprint,
+           {_SQL_WINHASH} AS min_window_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc polynomial rolling hash (mod
+    1e9+7) + winnowing-style minimum over 16-char window hashes. Shared
+    integer arithmetic -> the oracle matches bit-for-bit."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_SPARK_DOCHASH).alias("fingerprint"),
+        F.expr(_SPARK_WINHASH).alias("min_window_hash"),
+    )
