@@ -98,12 +98,12 @@ def run_resumable(
         spark, subset, thresholds=thr, n_buckets=n_buckets
     )
     scored = res.scored
-    scored.filter(F.col("keep")).select(*KEEP_COLS).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{out_dir}/kept.parquet")
-    scored.filter(~F.col("keep")).select(*DROP_COLS).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{out_dir}/dropped.parquet")
+    scored.filter(F.col("keep")).select(*KEEP_COLS).repartition("bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{out_dir}/kept.parquet")
+    scored.filter(~F.col("keep")).select(*DROP_COLS).repartition("bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(f"{out_dir}/dropped.parquet")
     lin = scored.groupBy("bucket").agg(
         F.count("*").alias("n_input"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),

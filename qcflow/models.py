@@ -79,7 +79,37 @@ class QcModels:
 
 @lru_cache(maxsize=2)
 def train_models(seed: int = 1234) -> QcModels:
-    """Deterministic training: seeded corpus -> exact counts -> log-probs."""
+    """Deterministic training: seeded corpus -> exact counts -> log-probs.
+    Disk-cached (.npz) after first training so driver startup pays a load,
+    not a retrain — the cluster equivalent is shipping the artifact file
+    with --files and broadcasting it."""
+    import os
+
+    cache = f"/root/repo/.cache/qc_models_{seed}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=False)
+        return QcModels(
+            langid_w=z["w"],
+            langid_prior=z["prior"],
+            langs=tuple(str(x) for x in z["langs"]),
+            bigram_lp=z["blp"],
+        )
+    m = _train_models_uncached(seed)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(
+            cache,
+            w=m.langid_w,
+            prior=m.langid_prior,
+            langs=np.array(m.langs),
+            blp=m.bigram_lp,
+        )
+    except OSError:
+        pass
+    return m
+
+
+def _train_models_uncached(seed: int = 1234) -> QcModels:
     counts = np.ones((V_BUCKETS, len(LANGS)), dtype=np.float64)  # add-1
     big = np.ones((N_CLASSES, N_CLASSES), dtype=np.float64)
     n_docs = np.zeros(len(LANGS), dtype=np.float64)

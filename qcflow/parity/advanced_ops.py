@@ -1,0 +1,183 @@
+"""Engine additions beyond the reference's operator surface (SURVEY §2.5
+"not present" list): as-of join, sessionization, lag/lead, rollup,
+grouping-sets breakdown consolidation, and the salted skew aggregate.
+Each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qcflow.parity.registry import query, t
+
+D = "decimal(12,2)"
+
+
+@query(
+    "x_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS last_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each error event, the
+    latest click of the same user at-or-before it. Implemented the scalable
+    way — union both sides with a tag, ONE window pass carrying the last
+    non-null click ts forward (clicks sort before errors at equal ts). No
+    per-key subquery, no range explosion; one shuffle on user_id."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("tag"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(errors).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+@query(
+    "x_sessionize",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM (SELECT event_id, user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+    """,
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + cumulative sum over gap > 30 min (the classic
+    two-window formulation; streaming twin is session_window)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        1,
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+
+
+@query(
+    "x_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def x_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window frame (absent from the reference; engine addition)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "x_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: (priority, status), (priority), () totals in
+    one pass — the multi-level summary the reference computes as separate
+    pivot_tables (H:215-252)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "x_grouping_sets_breakdown",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def x_grouping_sets_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breakdown consolidation (SURVEY §4 optional optimization): the
+    reference runs 12+ independent per-dimension aggregates over the same
+    frame (H:456-904); GROUPING SETS computes them in ONE scan+shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("x_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM x_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "x_salted_skew_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def x_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregate for skewed keys: partial aggregate on
+    (key, salt = pmod(xxhash64(id), 16)) spreads a hot key over 16 reducers,
+    final aggregate merges partials. Semantically invisible — the oracle is
+    the plain GROUP BY. (Spark's partial aggregation already does this for
+    algebraic aggs; the explicit salt is the pattern for when the skewed
+    stage is a join or a non-algebraic agg.)"""
+    ev = t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast(D)).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total"),
+    )

@@ -104,12 +104,20 @@ def lineage(scored: DataFrame) -> DataFrame:
 
 
 def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
-    """Materialize kept/dropped/metrics/lineage. Returns counts."""
+    """Materialize kept/dropped/metrics/lineage. Returns counts.
+
+    Writes repartition on bucket first so each bucket directory gets ONE
+    file instead of one per upstream task (tasks x buckets tiny files is
+    the classic partitioned-write mistake at scale)."""
     scored = res.scored
     kept = scored.filter(F.col("keep")).select(*KEEP_COLS)
     dropped = scored.filter(~F.col("keep")).select(*DROP_COLS)
-    kept.write.mode(mode).partitionBy("bucket").parquet(f"{out_dir}/kept.parquet")
-    dropped.write.mode(mode).partitionBy("bucket").parquet(f"{out_dir}/dropped.parquet")
+    kept.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
+        f"{out_dir}/kept.parquet"
+    )
+    dropped.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
+        f"{out_dir}/dropped.parquet"
+    )
     drop_reason_histogram(scored, "lang").write.mode(mode).parquet(
         f"{out_dir}/metrics_drop_reasons.parquet"
     )
@@ -118,8 +126,8 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     )
     lin = lineage(scored)
     lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
-    counts = scored.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("keep").cast("long")).alias("kept"),
-    ).collect()[0]
-    return {"n_input": counts["n"], "n_kept": int(counts["kept"] or 0)}
+    # totals from the (bucket-sized) lineage table — no extra full scan
+    counts = (
+        lin.agg(F.sum("n_input").alias("n"), F.sum("n_kept").alias("kept")).collect()[0]
+    )
+    return {"n_input": int(counts["n"]), "n_kept": int(counts["kept"] or 0)}

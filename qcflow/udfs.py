@@ -43,38 +43,77 @@ def _broadcast_models(spark: SparkSession, seed: int = 1234):
 
 
 def _score_batch(models: QcModels, texts: pd.Series) -> pd.DataFrame:
-    """Vectorized-per-batch scoring. Hash/bincount per text (numpy), then
-    one (n_texts x V) @ (V x L) matmul for the whole batch."""
+    """Whole-batch vectorized scoring: every text in the Arrow batch is
+    packed into ONE byte buffer with NUL separators; trigram hashing, the
+    langid gather-sum and the bigram-LM log-prob sum are then single numpy
+    passes over the buffer (segment sums via bincount) — no per-row loops,
+    no (n x V) dense counts matrix."""
     n = len(texts)
+    vals = texts.fillna("").astype(str).values
+    encoded = [t.encode("utf-8", "ignore") for t in vals]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+    # layout: t0 \0\0 t1 \0\0 ... (2 separators kill cross-text trigrams)
+    buf = b"\x00\x00".join(encoded)
+    b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        starts[1:] = np.cumsum(lens[:-1] + 2)
+
     langs = np.empty(n, dtype=object)
     confs = np.zeros(n, dtype=np.float64)
     ppls = np.full(n, PPL_MAX, dtype=np.float64)
-    counts = np.zeros((n, V_BUCKETS), dtype=np.float32)
+    scores = np.tile(models.langid_prior.astype(np.float64), (n, 1))
     n_tri = np.zeros(n, dtype=np.int64)
-    vals = texts.fillna("").astype(str).values
-    for i, text in enumerate(vals):
-        h = trigram_hashes(text)
-        n_tri[i] = len(h)
-        if len(h):
-            counts[i] = np.bincount(h, minlength=V_BUCKETS)
-        c = char_classes(text)
-        if len(c) >= 2:
-            lp = models.bigram_lp[c[:-1], c[1:]]
-            ppls[i] = np.exp(-lp.mean())
-    scores = counts @ models.langid_w + models.langid_prior  # (n, L)
+
+    if len(b) >= 3:
+        b0, b1, b2 = b[:-2], b[1:-1], b[2:]
+        valid = (b0 != 0) & (b1 != 0) & (b2 != 0)
+        pos = np.nonzero(valid)[0]
+        if len(pos):
+            h = (b0[pos] * 961 + b1[pos] * 31 + b2[pos]) % V_BUCKETS
+            rows = np.searchsorted(starts, pos, side="right") - 1
+            n_tri = np.bincount(rows, minlength=n)
+            w = models.langid_w.astype(np.float64)
+            for li in range(w.shape[1]):
+                scores[:, li] += np.bincount(rows, weights=w[h, li], minlength=n)
+
+    # bigram LM over char classes (same buffer; class 99 = separator)
+    if len(b) >= 2:
+        cls = np.full(len(b), 31, dtype=np.int64)
+        cls = np.where((b >= 97) & (b <= 122), b - 97, cls)
+        cls = np.where((b >= 65) & (b <= 90), 30, cls)
+        cls = np.where(b == 32, 26, cls)
+        cls = np.where(b == 46, 27, cls)
+        cls = np.where((b >= 48) & (b <= 57), 28, cls)
+        sym = (
+            ((b >= 33) & (b <= 47) & (b != 46))
+            | ((b >= 58) & (b <= 64))
+            | ((b >= 91) & (b <= 96))
+            | ((b >= 123) & (b <= 126))
+        )
+        cls = np.where(sym, 29, cls)
+        c0, c1 = cls[:-1], cls[1:]
+        bvalid = (b[:-1] != 0) & (b[1:] != 0)
+        bpos = np.nonzero(bvalid)[0]
+        if len(bpos):
+            brows = np.searchsorted(starts, bpos, side="right") - 1
+            lp = models.bigram_lp.astype(np.float64)[c0[bpos], c1[bpos]]
+            lp_sum = np.bincount(brows, weights=lp, minlength=n)
+            n_bi = np.bincount(brows, minlength=n)
+            ok = n_bi > 0
+            ppls[ok] = np.exp(-lp_sum[ok] / n_bi[ok])
+
     best = scores.argmax(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         norm = scores / np.maximum(n_tri, 1)[:, None] * TEMP
         norm = norm - norm.max(axis=1, keepdims=True)
         p = np.exp(norm)
         p = p / p.sum(axis=1, keepdims=True)
-    for i in range(n):
-        if n_tri[i] < MIN_TRIGRAMS:
-            langs[i] = "und"
-            confs[i] = 0.0
-        else:
-            langs[i] = models.langs[best[i]]
-            confs[i] = float(p[i, best[i]])
+    short = n_tri < MIN_TRIGRAMS
+    langs[:] = np.asarray(models.langs, dtype=object)[best]
+    confs[:] = p[np.arange(n), best]
+    langs[short] = "und"
+    confs[short] = 0.0
     return pd.DataFrame({"lang": langs, "lang_conf": confs, "perplexity": ppls})
 
 

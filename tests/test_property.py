@@ -58,7 +58,8 @@ def test_ulaw_monotone_safe(vals):
 
 def test_langid_deterministic_across_calls():
     m1 = train_models(1234)
-    m2 = train_models.__wrapped__(1234)  # bypass lru_cache: retrain
+    from qcflow.models import _train_models_uncached
+    m2 = _train_models_uncached(1234)  # retrain from scratch
     assert np.array_equal(m1.langid_w, m2.langid_w)
     assert np.array_equal(m1.bigram_lp, m2.bigram_lp)
 
