@@ -20,8 +20,9 @@ import os
 import sys
 import time
 
-BENCH_CLIP_ROWS = int(os.environ.get("QCFLOW_BENCH_CLIP_ROWS", "20000"))
-CLIPS_CACHE = f"/root/repo/.cache/clips_bench{BENCH_CLIP_ROWS}"
+BENCH_CLIP_ROWS = int(os.environ.get("QCFLOW_BENCH_CLIP_ROWS", "60000"))
+# shared with scripts/scaling.py so the table is generated once
+CLIPS_CACHE = f"/root/repo/.cache/clips_scale{BENCH_CLIP_ROWS}"
 
 PARITY_QUERIES = [
     "tpch_q1",

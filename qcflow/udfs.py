@@ -34,8 +34,6 @@ from qcflow.models import (
     trigram_hashes,
 )
 
-_LOCAL: dict[str, QcModels] = {}
-
 
 def _broadcast_models(spark: SparkSession, seed: int = 1234):
     sc = spark.sparkContext
