@@ -181,3 +181,31 @@ def x_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total"),
     )
+
+
+@query(
+    "x_salted_skew_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN: the probe side's hot keys are spread by a salt
+    column pmod(xxhash64(event_id), S); the build side is replicated S
+    times (explode a salt array) so every (key, salt) pair still meets.
+    Semantically invisible — the oracle is the plain join. This is the
+    manual form of what AQE skew-join does adaptively; needed when the
+    build side must shuffle (too big to broadcast) and one key dominates
+    (the 70% Zipf language bucket in the clip table)."""
+    S = 8
+    ev = t(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(S)).cast("int")
+    )
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    return ev.join(
+        cust,
+        (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+    ).select("event_id", "user_id", "c_mktsegment")
