@@ -91,3 +91,33 @@ def test_nan_never_flags(spark):
     # empty transcript flags ONLY empty_transcript — the NULL-featured rules
     # (repetition, length_mismatch, symbol density) must stay silent
     assert out["b"] == "empty_transcript"
+
+
+def test_flag_monotone_in_thresholds(spark):
+    """SURVEY §5 property: tightening every threshold can only grow the
+    flagged set (flag monotonicity)."""
+    import pandas as pd
+
+    from qcflow.features import clip_features
+    from qcflow.rules import Thresholds, apply_rules
+    from qcflow.synth import gen_pandas
+    from qcflow.udfs import with_langid_ppl
+
+    pdf = gen_pandas(200).drop(columns=["bytes", "true_lang", "planted"])
+    df = with_langid_ppl(clip_features(spark.createDataFrame(pdf)), spark).persist()
+    loose = Thresholds(repetition_lo=0.1, cps_lo=2.0, cps_hi=50.0, ppl_hi=500.0)
+    tighter = [
+        Thresholds(repetition_lo=0.3, cps_lo=2.0, cps_hi=50.0, ppl_hi=500.0),
+        Thresholds(repetition_lo=0.1, cps_lo=8.0, cps_hi=25.0, ppl_hi=500.0),
+        Thresholds(repetition_lo=0.1, cps_lo=2.0, cps_hi=50.0, ppl_hi=20.0),
+        Thresholds(repetition_lo=0.5, cps_lo=9.0, cps_hi=20.0, ppl_hi=10.0),
+    ]
+
+    def flagged_ids(thr):
+        out = apply_rules(df, thr).filter("NOT keep").select("clip_id").collect()
+        return {r["clip_id"] for r in out}
+
+    base = flagged_ids(loose)
+    for thr in tighter:
+        assert base <= flagged_ids(thr), thr
+    df.unpersist()
