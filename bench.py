@@ -67,6 +67,22 @@ def main() -> int:
     queries["qc_pipeline"] = round(qc_sec, 3)
     clips_per_sec = BENCH_CLIP_ROWS / qc_sec
 
+    # decode path: PCM consistency reads the audio bytes column -> IO
+    # bound (~disk sequential rate); bench a 10k-clip slice so the number
+    # reflects the pipeline, not the sandbox's single-vdisk cold-read rate
+    # (clip_id is file-ordered, so the filter prunes row groups).
+    from pyspark.sql import functions as F
+
+    pcm_rows = min(BENCH_CLIP_ROWS, 10000)
+    slice_ = clips.filter(F.col("clip_id") < f"clip-{pcm_rows:012d}")
+    t0 = time.time()
+    res2 = score_clips(spark, slice_, exact_thresholds=False, check_pcm=True)
+    res2.scored.filter("NOT keep").groupBy("lang").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pcm_sec = time.time() - t0
+    queries["qc_pipeline_pcm"] = round(pcm_sec, 3)
+
     # --- parity queries over the star schema ----------------------------
     for name in PARITY_QUERIES:
         fn = QUERIES[name]
@@ -86,6 +102,7 @@ def main() -> int:
                 "clips_per_sec": round(clips_per_sec, 1),
                 "clip_rows": BENCH_CLIP_ROWS,
                 "n_kept": counts["n_kept"],
+                "pcm_clips_per_sec": round(pcm_rows / pcm_sec, 1),
                 "cpus": cpus,
             }
         )

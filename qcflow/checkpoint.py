@@ -137,3 +137,55 @@ def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
     conf_histogram(scored_conf).write.mode("overwrite").parquet(
         f"{out_dir}/metrics_lang_conf.parquet"
     )
+
+
+def process_increment(
+    spark: SparkSession,
+    clips_path: str,
+    out_dir: str,
+    n_buckets: int = N_BUCKETS,
+) -> dict:
+    """Snapshot-diff processing: score only clips NOT already in the
+    outputs (row-level anti-join against kept+dropped ids), append, and
+    refresh metrics. This is the daily-increment path at 10^12 rows — the
+    new snapshot is never reprocessed from scratch; the anti-join keys are
+    8-byte ids and prune to the bucket directories.
+
+    Thresholds stay frozen from the first attempt (consistent labels
+    across increments, like the reference's session-pinned thresholds)."""
+    clips = spark.read.parquet(clips_path)
+    thr = load_thresholds(out_dir)
+    if thr is None:
+        # first load: just run the resumable path
+        return run_resumable(spark, clips_path, out_dir, n_buckets=n_buckets)
+
+    seen = (
+        spark.read.parquet(f"{out_dir}/kept.parquet")
+        .select("clip_id")
+        .unionByName(spark.read.parquet(f"{out_dir}/dropped.parquet").select("clip_id"))
+    )
+    new = clips.join(seen, "clip_id", "left_anti")
+    res = score_clips(spark, new, thresholds=thr, n_buckets=n_buckets)
+    # The scored plan READS kept/dropped (the anti-join) and we are about to
+    # APPEND to them — materialize and cut the lineage first, or the later
+    # actions re-evaluate against their own output (self-referential
+    # read-modify-write). On a cluster use checkpoint(); local is fine here.
+    scored = res.scored.localCheckpoint(eager=True)
+    res.scored.unpersist()
+    kept = scored.filter(F.col("keep")).select(*KEEP_COLS)
+    dropped = scored.filter(~F.col("keep")).select(*DROP_COLS)
+    kept.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        f"{out_dir}/kept.parquet"
+    )
+    dropped.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        f"{out_dir}/dropped.parquet"
+    )
+    lin = scored.groupBy("bucket").agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+    n_new = int(lin.agg(F.sum("n_input")).collect()[0][0] or 0)
+    scored.unpersist()
+    finalize_metrics(spark, out_dir)
+    return {"n_new": n_new}

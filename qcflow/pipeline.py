@@ -62,15 +62,29 @@ def score_clips(
     (persisted) and the derived thresholds."""
     df = clips.withColumn("bucket", bucket_col(n_buckets))
     if check_pcm:
-        df = pcm_consistency(df)
+        # the consistency columns derive from byte LENGTHS only; drop the
+        # payload right after so the persist/shuffles stay narrow
+        df = pcm_consistency(df).drop("bytes")
     else:
         # Binary column discipline: never carry `bytes` past the scan.
         df = df.drop("bytes")
     df = clip_features(df)
     df = with_langid_ppl(df, spark)
-    # The UDF output feeds both threshold derivation and the rule pass —
-    # persist so the Python stage runs once, not once per downstream action.
-    df = df.persist()
+    # The UDF output feeds both threshold derivation and the rule pass, so
+    # it must be materialized once, not recomputed per downstream action.
+    # Narrow path: persist (in-memory columnar, cheap). Decode path: a
+    # parquet staging table — persist on a plan whose scan stage carries
+    # the audio bytes measured 5x slower than staging (cache-build GC
+    # churn); at 10^12 rows the staged frame is the Iceberg intermediate
+    # table anyway.
+    if check_pcm:
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="qcflow_stage_") + "/scored.parquet"
+        df.write.mode("overwrite").parquet(stage)
+        df = spark.read.parquet(stage)
+    else:
+        df = df.persist()
     thr = thresholds or derive_thresholds(df, exact=exact_thresholds)
     extra = []
     if check_pcm:

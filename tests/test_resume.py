@@ -79,3 +79,36 @@ def test_resume_matches_oneshot(spark, out_dirs):
     # metrics side tables were finalized
     hist = spark.read.parquet(f"{resumed}/metrics_drop_reasons.parquet").toPandas()
     assert hist.n.sum() > 0
+
+
+def test_process_increment(spark, tmp_path, clips_ready):
+    """Snapshot-diff: first 1500 clips processed, then the full 2000-row
+    snapshot arrives -> only the 500 new ones are scored and appended."""
+    from pyspark.sql import functions as F
+
+    from qcflow.checkpoint import process_increment, run_resumable
+
+    out = str(tmp_path / "incr")
+    v1 = str(tmp_path / "clips_v1")
+    clips = spark.read.parquet(CLIPS)
+    clips.filter(F.col("clip_id") < "clip-000000001500").write.parquet(v1)
+
+    r1 = run_resumable(spark, v1, out, n_buckets=N_BUCKETS)
+    assert r1["remaining"] == 0
+    n1 = spark.read.parquet(f"{out}/kept.parquet").count() + spark.read.parquet(
+        f"{out}/dropped.parquet"
+    ).count()
+    assert n1 == 1500
+
+    r2 = process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    assert r2["n_new"] == 500
+    kept = spark.read.parquet(f"{out}/kept.parquet")
+    dropped = spark.read.parquet(f"{out}/dropped.parquet")
+    assert kept.count() + dropped.count() == 2000
+    # no clip scored twice
+    ids = kept.select("clip_id").unionByName(dropped.select("clip_id")).toPandas()
+    assert ids.clip_id.is_unique
+
+    # idempotent: re-running the same snapshot adds nothing
+    r3 = process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    assert r3["n_new"] == 0
