@@ -63,7 +63,7 @@ def main() -> int:
     res = score_clips(spark, clips, exact_thresholds=True)
     counts = write_outputs(res, out_dir)
     qc_sec = time.time() - t0
-    res.scored.unpersist()
+    res.release()
     queries["qc_pipeline"] = round(qc_sec, 3)
     clips_per_sec = BENCH_CLIP_ROWS / qc_sec
 
@@ -82,6 +82,7 @@ def main() -> int:
     ).mode("overwrite").save()
     pcm_sec = time.time() - t0
     queries["qc_pipeline_pcm"] = round(pcm_sec, 3)
+    res2.release()
 
     # --- parity queries over the star schema ----------------------------
     for name in PARITY_QUERIES:

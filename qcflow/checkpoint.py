@@ -57,12 +57,16 @@ def load_thresholds(out_dir: str) -> Thresholds | None:
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
     path = f"{out_dir}/lineage.parquet"
+    from pyspark.errors import AnalysisException
+
     try:
         return [
             r["bucket"] for r in spark.read.parquet(path).select("bucket").collect()
         ]
-    except Exception:
-        return []
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return []  # first run: no manifest yet
+        raise  # corrupted/unreadable manifest must NOT mean 'reprocess all'
 
 
 def run_resumable(
@@ -110,7 +114,7 @@ def run_resumable(
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
     )
     lin.write.mode("append").parquet(f"{out_dir}/lineage.parquet")
-    scored.unpersist()
+    res.release()
     remaining = n_buckets - len(done) - len(todo)
     if remaining == 0:
         finalize_metrics(spark, out_dir)
@@ -171,7 +175,7 @@ def process_increment(
     # actions re-evaluate against their own output (self-referential
     # read-modify-write). On a cluster use checkpoint(); local is fine here.
     scored = res.scored.localCheckpoint(eager=True)
-    res.scored.unpersist()
+    res.release()
     kept = scored.filter(F.col("keep")).select(*KEEP_COLS)
     dropped = scored.filter(~F.col("keep")).select(*DROP_COLS)
     kept.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
@@ -186,6 +190,13 @@ def process_increment(
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
     )
     n_new = int(lin.agg(F.sum("n_input")).collect()[0][0] or 0)
+    # append the increment's lineage rows so kept/dropped contents and the
+    # manifest totals never diverge (a bucket may appear in several rows:
+    # one per attempt/increment; completed_buckets de-dups via set). A
+    # crash mid-increment is recovered by re-running process_increment —
+    # the row-level anti-join skips whatever the partial attempt landed.
+    if n_new:
+        lin.write.mode("append").parquet(f"{out_dir}/lineage.parquet")
     scored.unpersist()
     finalize_metrics(spark, out_dir)
     return {"n_new": n_new}

@@ -62,8 +62,10 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_sessionize",
     oracle="""
     SELECT event_id, user_id, ts,
+           -- microsecond epochs on BOTH sides: a 1800.4s gap must open a
+           -- session in both engines (whole-second floor would not)
            CAST(SUM(CASE WHEN prev_ts IS NULL
-                      OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
     FROM (SELECT event_id, user_id, ts,
                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -76,9 +78,12 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # microsecond epochs keep the sub-second fraction (unix_timestamp
+    # floors to whole seconds and would disagree with the oracle on gaps
+    # inside (1800, 1801)); NTZ -> TZ cast is exact under the UTC session
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     new_sess = F.when(
-        prev.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800),
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1_800_000_000),
         1,
     ).otherwise(0)
     return ev.select(

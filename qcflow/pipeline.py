@@ -44,6 +44,19 @@ N_BUCKETS = 64
 class QcResult:
     scored: DataFrame  # full frame: features + lang + rules + scrub
     thresholds: Thresholds
+    _cached: DataFrame | None = None  # the internal persisted frame
+    _stage_dir: str | None = None  # parquet staging dir (decode path)
+
+    def release(self) -> None:
+        """Free the materialization backing ``scored`` (cache or staging
+        files). ``scored`` itself is derived, so unpersisting it directly
+        would be a silent no-op."""
+        if self._cached is not None:
+            self._cached.unpersist()
+        if self._stage_dir is not None:
+            import shutil
+
+            shutil.rmtree(self._stage_dir, ignore_errors=True)
 
 
 def bucket_col(n_buckets: int = N_BUCKETS):
@@ -77,21 +90,25 @@ def score_clips(
     # the audio bytes measured 5x slower than staging (cache-build GC
     # churn); at 10^12 rows the staged frame is the Iceberg intermediate
     # table anyway.
+    cached = None
+    stage_dir = None
     if check_pcm:
         import tempfile
 
-        stage = tempfile.mkdtemp(prefix="qcflow_stage_") + "/scored.parquet"
-        df.write.mode("overwrite").parquet(stage)
-        df = spark.read.parquet(stage)
+        stage_dir = tempfile.mkdtemp(prefix="qcflow_stage_")
+        df.write.mode("overwrite").parquet(f"{stage_dir}/scored.parquet")
+        df = spark.read.parquet(f"{stage_dir}/scored.parquet")
     else:
-        df = df.persist()
+        df = cached = df.persist()
     thr = thresholds or derive_thresholds(df, exact=exact_thresholds)
     extra = []
     if check_pcm:
         extra.append(("pcm_inconsistent", F.col("pcm_inconsistent")))
     flagged = apply_rules(df, thr, extra_rules=extra)
     flagged = scrub(flagged)
-    return QcResult(scored=flagged, thresholds=thr)
+    return QcResult(
+        scored=flagged, thresholds=thr, _cached=cached, _stage_dir=stage_dir
+    )
 
 
 KEEP_COLS = [
@@ -140,8 +157,9 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     )
     lin = lineage(scored)
     lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
-    # totals from the (bucket-sized) lineage table — no extra full scan
+    # totals from the (bucket-sized) lineage table — no extra full scan;
+    # NULL sums (empty input) count as zero
     counts = (
         lin.agg(F.sum("n_input").alias("n"), F.sum("n_kept").alias("kept")).collect()[0]
     )
-    return {"n_input": int(counts["n"]), "n_kept": int(counts["kept"] or 0)}
+    return {"n_input": int(counts["n"] or 0), "n_kept": int(counts["kept"] or 0)}

@@ -52,6 +52,12 @@ def derive_thresholds(feats: DataFrame, exact: bool = True) -> Thresholds:
         q("cps", P_CPS[1]).alias("cps_hi"),
         q("perplexity", P_PPL).alias("ppl_hi"),
     ).collect()[0]
+    if any(row[k] is None for k in ("repetition_lo", "cps_lo", "cps_hi", "ppl_hi")):
+        raise ValueError(
+            "cannot derive thresholds: input is empty or every feature is "
+            "null — pass explicit Thresholds (score_clips(thresholds=...)) "
+            "or a calibration batch"
+        )
     return Thresholds(
         repetition_lo=float(row["repetition_lo"]),
         cps_lo=float(row["cps_lo"]),

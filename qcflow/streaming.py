@@ -10,9 +10,9 @@ Semantics notes:
   (a global quantile over future data is undefined) — they come from a
   calibration batch / saved config (qcflow.checkpoint.load_thresholds),
   exactly how the batch resume path freezes them across attempts.
-- foreachBatch gives the batch writer (bucket-partitioned appends) and
-  idempotent-by-batchId metrics updates; Spark's checkpointLocation
-  provides exactly-once file-source progress.
+- foreachBatch is at-least-once; effectively-once comes from batch_id-
+  partitioned dynamic-overwrite writes (a retried batch replaces its own
+  partition) on top of checkpointLocation's source-progress tracking.
 """
 
 from __future__ import annotations
@@ -49,24 +49,32 @@ def stream_score(
     scored = scrub(apply_rules(scored, thresholds))
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.persist()
-        batch.filter(F.col("keep")).select(*KEEP_COLS).repartition(
+        # foreachBatch is at-least-once: a failed/restarted batch re-runs
+        # with the SAME batch_id. Writes are batch_id-partitioned with
+        # dynamic partition overwrite, so a retry replaces its own
+        # partition instead of appending duplicates -> effectively-once.
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = batch.withColumn("batch_id", F.lit(batch_id)).persist()
+        batch.filter(F.col("keep")).select("batch_id", *KEEP_COLS).repartition(
             "bucket"
-        ).write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/kept.parquet")
-        batch.filter(~F.col("keep")).select(*DROP_COLS).repartition(
+        ).write.mode("overwrite").partitionBy("batch_id", "bucket").parquet(
+            f"{out_dir}/kept.parquet"
+        )
+        batch.filter(~F.col("keep")).select("batch_id", *DROP_COLS).repartition(
             "bucket"
-        ).write.mode("append").partitionBy("bucket").parquet(
+        ).write.mode("overwrite").partitionBy("batch_id", "bucket").parquet(
             f"{out_dir}/dropped.parquet"
         )
         (
-            batch.groupBy("bucket")
+            batch.groupBy("batch_id", "bucket")
             .agg(
                 F.count("*").alias("n_input"),
                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
                 F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
             )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
             .parquet(f"{out_dir}/lineage.parquet")
         )
         batch.unpersist()

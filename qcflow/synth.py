@@ -30,7 +30,16 @@ PII_IDS = ["AB1234567", "ZX99887766", "QT45678901"]
 TOX_WORDS = ["damn", "hell", "stupid", "idiot"]
 
 
-def _gen_row(i: int) -> dict:
+def _gen_row(i: int, with_audio: bool = True) -> dict:
+    """One clip as a pure function of its index. ``with_audio=False``
+    produces identical metadata/transcript while skipping waveform
+    synthesis + encoding (those use a separate counter-based RNG, so the
+    main RNG stream stays aligned; the one main-RNG byte draw — opus junk
+    — is still consumed)."""
+    return _gen_row_impl(i, with_audio)
+
+
+def _gen_row_impl(i: int, with_audio: bool) -> dict:
     rng = np.random.default_rng([SEED, i])
     lang = str(rng.choice(LANGS, p=LANG_WEIGHTS))
     planted: list[str] = []
@@ -65,13 +74,16 @@ def _gen_row(i: int) -> dict:
         n_samples = max(1, int(n_samples * float(rng.choice([0.8, 1.2]))))
         planted.append("pcm_inconsistent")
     n_samples = min(n_samples, 2_200_000)
-    wave = audio.synth_wave(i, n_samples, sr_eff)
-    if codec == "pcm16":
-        b = audio.pcm16_encode(wave)
-    elif codec == "ulaw":
-        b = audio.ulaw_encode(wave)
-    else:  # unknown codec: opaque junk bytes, still deterministic
-        b = rng.integers(0, 256, min(n_samples, 4096), dtype=np.uint8).tobytes()
+    if codec == "opus":
+        # unknown codec: opaque junk bytes — drawn from the MAIN rng, so
+        # the draw must happen in meta-only mode too (stream alignment)
+        junk = rng.integers(0, 256, min(n_samples, 4096), dtype=np.uint8)
+        b = junk.tobytes() if with_audio else None
+    elif with_audio:
+        wave = audio.synth_wave(i, n_samples, sr_eff)
+        b = audio.pcm16_encode(wave) if codec == "pcm16" else audio.ulaw_encode(wave)
+    else:
+        b = None
 
     # --- transcript -------------------------------------------------------
     cps = float(np.clip(rng.normal(13.0, 2.0), 8.0, 18.0))
@@ -124,30 +136,36 @@ def _gen_row(i: int) -> dict:
     }
 
 
-def gen_batch(indices: np.ndarray) -> pd.DataFrame:
-    return pd.DataFrame([_gen_row(int(i)) for i in indices])
+def gen_batch(indices: np.ndarray, with_audio: bool = True) -> pd.DataFrame:
+    return pd.DataFrame([_gen_row(int(i), with_audio) for i in indices])
 
 
 def generate_clips(spark, n_rows: int, out_dir: str, partitions: int | None = None):
-    """Distributed generation: clips parquet + truth-meta parquet side table."""
+    """Distributed generation: clips parquet + truth-meta parquet side table.
+    Two mapInPandas passes, but the meta pass skips audio synthesis (the
+    dominant cost) — writing the full frame once and re-reading would move
+    the same bytes through disk twice instead."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf):
-                yield gen_batch(pdf["id"].values)
+    def gen(with_audio: bool):
+        def _g(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf):
+                    yield gen_batch(pdf["id"].values, with_audio)
+
+        return _g
 
     schema = (
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
         "transcript string, true_lang string, planted string"
     )
-    full = spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, schema)
-    full.select(
+    rng_df = spark.range(0, n_rows, numPartitions=partitions)
+    rng_df.mapInPandas(gen(True), schema).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
     ).write.mode("overwrite").parquet(f"{out_dir}/clips.parquet")
-    full.select("clip_id", "true_lang", "planted").write.mode("overwrite").parquet(
-        f"{out_dir}/clips_meta.parquet"
-    )
+    rng_df.mapInPandas(gen(False), schema).select(
+        "clip_id", "true_lang", "planted"
+    ).write.mode("overwrite").parquet(f"{out_dir}/clips_meta.parquet")
 
 
 def gen_pandas(n_rows: int) -> pd.DataFrame:

@@ -164,10 +164,19 @@ def with_snr(df: DataFrame) -> DataFrame:
             ):
                 if b is None or codec not in audio.KNOWN_CODECS:
                     continue
-                est = audio.decode(bytes(b), codec)
-                idx = int(cid.rsplit("-", 1)[1])
-                sr_eff = int(sr) if int(sr) in audio.VALID_SR else 8000
-                ref = audio.synth_wave(idx, len(est), sr_eff)
+                try:
+                    est = audio.decode(bytes(b), codec)
+                    # clip index from the synthetic id scheme; foreign ids
+                    # or null sr yield NaN (row-level, never task-fatal)
+                    idx = int(cid.rsplit("-", 1)[1])
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                    ref = audio.synth_wave(idx, len(est), sr_eff)
+                except (ValueError, IndexError, TypeError):
+                    continue
                 out[i] = audio.snr_db(ref, est)
             yield pd.Series(out)
 

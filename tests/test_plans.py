@@ -43,7 +43,7 @@ def test_bytes_never_scanned_without_pcm(spark):
     assert read, "no scan found"
     for seg in read:
         assert "bytes" not in seg, f"bytes column reached the scan: {seg}"
-    res.scored.unpersist()
+    res.release()
 
 
 def test_dimension_join_broadcasts(spark):

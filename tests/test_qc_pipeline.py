@@ -164,3 +164,85 @@ def test_pcm_consistency_flags(spark, clips_dir):
     # and clean valid-sr clips must NOT be flagged pcm_inconsistent
     clean = m[(m.planted == "")]
     assert not clean.drop_reasons.str.contains("pcm_inconsistent").any()
+
+
+def test_meta_only_generation_matches_full():
+    """Meta-only synth (skips audio) must produce identical metadata —
+    the RNG streams stay aligned."""
+    import pandas as pd
+
+    from qcflow.synth import gen_batch
+
+    full = gen_batch(np.arange(80), with_audio=True)
+    meta = gen_batch(np.arange(80), with_audio=False)
+    for c in ["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "true_lang", "planted"]:
+        pd.testing.assert_series_equal(full[c], meta[c], check_names=True)
+    assert meta["bytes"].isna().all() or (meta["bytes"].isnull()).all()
+
+
+def test_pcm_stats_udf(spark, clips_dir):
+    """with_pcm_stats decode: sample counts must match the byte-length
+    estimate (pcm16 = 2 B/sample, ulaw = 1 B/sample), RMS in (0, 1)."""
+    from pyspark.sql import functions as F
+
+    from qcflow.udfs import with_pcm_stats
+
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet").limit(200)
+    stats = with_pcm_stats(clips).select(
+        "clip_id", "codec", "n_samples", "rms", F.length("bytes").alias("blen")
+    ).toPandas()
+    dec = stats[stats.codec.isin(["pcm16", "ulaw"])]
+    assert len(dec) > 100
+    expect = np.where(dec.codec == "pcm16", dec.blen // 2, dec.blen)
+    assert (dec.n_samples.values == expect).all()
+    assert ((dec.rms > 0) & (dec.rms < 1)).all()
+    # unknown codec rows decode to nothing, not an error
+    unk = stats[~stats.codec.isin(["pcm16", "ulaw"])]
+    if len(unk):
+        assert (unk.n_samples == 0).all()
+
+
+def test_empty_input(spark):
+    """Empty table: explicit thresholds run to empty outputs; derived
+    thresholds fail with a clear error, not a TypeError."""
+    import pytest as _pytest
+
+    from qcflow.pipeline import score_clips, write_outputs
+    from qcflow.rules import Thresholds
+    from qcflow.schema import CLIPS_SCHEMA
+
+    empty = spark.createDataFrame([], CLIPS_SCHEMA)
+    thr = Thresholds(repetition_lo=0.1, cps_lo=1.0, cps_hi=100.0, ppl_hi=100.0)
+    res = score_clips(spark, empty, thresholds=thr)
+    out = write_outputs(res, "/tmp/qcflow_empty_test")
+    assert out == {"n_input": 0, "n_kept": 0}
+    res.release()
+
+    with _pytest.raises(ValueError, match="cannot derive thresholds"):
+        score_clips(spark, empty)
+
+
+def test_snr_tolerates_foreign_rows(spark):
+    """Foreign clip_ids / null sr must yield NaN, not a task failure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qcflow import audio
+    from qcflow.udfs import with_snr
+
+    wave = audio.synth_wave(3, 1000, 8000)
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["not-a-synthetic-id", "clip-000000000003", "clip-xyz"],
+            "bytes": [audio.pcm16_encode(wave)] * 3,
+            "sr_hz": [None, 8000, 8000],
+            "codec": ["pcm16"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "sr_hz", F.col("sr_hz").cast("int")
+    )
+    out = with_snr(df).toPandas().set_index("clip_id")
+    assert np.isnan(out.loc["not-a-synthetic-id", "snr_db"])
+    assert np.isnan(out.loc["clip-xyz", "snr_db"])
+    assert out.loc["clip-000000000003", "snr_db"] > 60

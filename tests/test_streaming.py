@@ -44,7 +44,7 @@ def test_stream_matches_batch(spark, stream_input, tmp_path):
         .sort_values("clip_id")
         .reset_index(drop=True)
     )
-    batch.scored.unpersist()
+    batch.release()
     pd.testing.assert_frame_equal(got, want)
 
     # multiple micro-batches actually happened (availableNow + 2 files/trigger)
