@@ -95,3 +95,41 @@ def snr_db(ref: np.ndarray, est: np.ndarray) -> float:
     if p_sig == 0.0:
         return float("-inf")
     return 10.0 * np.log10(p_sig / p_err)
+
+
+def snr_vs_synth(idx: int, est: np.ndarray, sr: int, block: int = 16384) -> float:
+    """SNR of ``est`` against the re-synthesized original, computed in
+    L2-resident blocks: identical math to ``synth_wave`` (elementwise ops
+    chunk exactly; Generator.normal chunk-draws equal one-shot draws) but
+    ~10 MB/row of DRAM traffic becomes ~0.5 MB — the difference between a
+    memory-bandwidth-bound and CPU-bound invariant check at high
+    parallelism."""
+    rng = np.random.default_rng([7919, idx])
+    n = len(est)
+    if n == 0:
+        return float("-inf")
+    n_tones = int(rng.integers(2, 4))
+    tones = []
+    for _ in range(n_tones):
+        f = float(rng.uniform(80.0, min(3800.0, sr / 2 - 50) if sr > 1000 else 3800.0))
+        a = float(rng.uniform(0.1, 0.3))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        tones.append((f, a, ph))
+    p_sig = 0.0
+    p_err = 0.0
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        t = np.arange(s, e, dtype=np.float64) / max(sr, 1)
+        x = np.zeros(e - s, dtype=np.float64)
+        for f, a, ph in tones:
+            x += a * np.sin(2 * np.pi * f * t + ph)
+        x += rng.normal(0.0, 0.01, e - s)
+        ref = np.clip(x, -0.999, 0.999).astype(np.float32).astype(np.float64)
+        err = ref - est[s:e].astype(np.float64)
+        p_sig += float(np.sum(ref * ref))
+        p_err += float(np.sum(err * err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)

@@ -41,7 +41,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio `bytes` rows are large; keep Arrow batches bounded so a
         # batch of clips fits comfortably in executor memory at any scale
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # (2048 x ~113 KB = 230 MB in flight PER WORKER made 32 cores run
+        # slower than 8 on the decode path; 256 keeps it ~30 MB)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # same reason for the parquet vectorized reader: the default 4096
         # rows/batch means ~460 MB column buffers per task on ~113 KB
         # binary cells -> GC collapse (measured 346s vs 36s for a 7 GB

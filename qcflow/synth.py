@@ -160,9 +160,14 @@ def generate_clips(spark, n_rows: int, out_dir: str, partitions: int | None = No
         "transcript string, true_lang string, planted string"
     )
     rng_df = spark.range(0, n_rows, numPartitions=partitions)
+    # audio bytes are incompressible (synthetic PCM/u-law of noisy tones);
+    # snappy burns scan CPU for ~1.0 ratio — store uncompressed so the
+    # decode path reads at memcpy speed
     rng_df.mapInPandas(gen(True), schema).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
-    ).write.mode("overwrite").parquet(f"{out_dir}/clips.parquet")
+    ).write.mode("overwrite").option("compression", "uncompressed").parquet(
+        f"{out_dir}/clips.parquet"
+    )
     rng_df.mapInPandas(gen(False), schema).select(
         "clip_id", "true_lang", "planted"
     ).write.mode("overwrite").parquet(f"{out_dir}/clips_meta.parquet")

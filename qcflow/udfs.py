@@ -174,10 +174,9 @@ def with_snr(df: DataFrame) -> DataFrame:
                         if sr is not None and int(sr) in audio.VALID_SR
                         else 8000
                     )
-                    ref = audio.synth_wave(idx, len(est), sr_eff)
                 except (ValueError, IndexError, TypeError):
                     continue
-                out[i] = audio.snr_db(ref, est)
+                out[i] = audio.snr_vs_synth(idx, est, sr_eff)
             yield pd.Series(out)
 
     return df.withColumn(
