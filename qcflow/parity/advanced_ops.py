@@ -214,3 +214,41 @@ def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust,
         (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
     ).select("event_id", "user_id", "c_mktsegment")
+
+
+@query(
+    "x_ts_band_join",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+           epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) < 60000000
+    """,
+)
+def x_ts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp band join (J3 at event-time shape): error-click pairs of
+    the same user within +/-60s. Equi key (user_id) carries the hash join;
+    the time band is the residual predicate — same plan shape as the DFO
+    band join (Home.py:132), no nested loop. At scale, bucketize ts to the
+    band width and join on (user, ts_bucket +/- 1) to bound fan-in."""
+    ev = t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    e_, c_ = ev.alias("e"), ev.alias("c")
+    gap = us(F.col("e.ts")) - us(F.col("c.ts"))
+    return (
+        e_.join(
+            c_,
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("e.event_type") == "error")
+            & (F.col("c.event_type") == "click")
+            & (F.abs(gap) < 60_000_000),
+        )
+        .select(
+            F.col("e.event_id").alias("error_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.user_id").alias("user_id"),
+            gap.alias("gap_us"),
+        )
+    )
