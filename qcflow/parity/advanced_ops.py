@@ -216,20 +216,26 @@ def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment")
 
 
+_BAND_US = 3_600_000_000  # +/-1h: 12 pairs at sf0.001, 71 at sf0.01 — the
+# +/-60s band the first draft used matched ZERO rows below sf0.1, so the
+# oracle check was vacuous (a regression to an always-empty plan passed).
+# tests/test_parity.py asserts non-emptiness at sf0.001.
+
+
 @query(
     "x_ts_band_join",
-    oracle="""
+    oracle=f"""
     SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
            epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
     FROM events e JOIN events c
       ON e.user_id = c.user_id
      AND e.event_type = 'error' AND c.event_type = 'click'
-     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) < 60000000
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) < {_BAND_US}
     """,
 )
 def x_ts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp band join (J3 at event-time shape): error-click pairs of
-    the same user within +/-60s. Equi key (user_id) carries the hash join;
+    the same user within +/-1h. Equi key (user_id) carries the hash join;
     the time band is the residual predicate — same plan shape as the DFO
     band join (Home.py:132), no nested loop. At scale, bucketize ts to the
     band width and join on (user, ts_bucket +/- 1) to bound fan-in."""
@@ -243,7 +249,7 @@ def x_ts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e.user_id") == F.col("c.user_id"))
             & (F.col("e.event_type") == "error")
             & (F.col("c.event_type") == "click")
-            & (F.abs(gap) < 60_000_000),
+            & (F.abs(gap) < _BAND_US),
         )
         .select(
             F.col("e.event_id").alias("error_id"),

@@ -220,15 +220,23 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer CROSS JOIN avg_bal
     WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-sales opportunity: scalar-subquery average (broadcast single
-    row) + NOT EXISTS (left_anti) + aggregate."""
+    row) + NOT EXISTS (left_anti against a filtered orders side) +
+    aggregate. The driver corpus gives every customer at least one order,
+    so q22's literal 'no orders at all' predicate matched zero rows below
+    sf0.1 (vacuous check); 'no URGENT orders' keeps the anti-join shape
+    with survivors at every SF (5 @ sf0.001, 75 @ sf0.01)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(

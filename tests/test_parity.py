@@ -26,3 +26,16 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_query_without_oracle_runs(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+# Queries whose round-1 fixtures returned 0 rows (0 == 0 passes vacuously —
+# a regression to an always-empty plan would have sailed through). Their
+# parameters were re-derived so survivors exist at every SF; pin that here.
+_MUST_BE_NONEMPTY = ["x_ts_band_join", "tpch_q22"]
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_oracle_check_is_not_vacuous(spark, sf_dir, name):
+    assert QUERIES[name](spark, sf_dir).count() > 0, (
+        f"{name} returned 0 rows — its oracle comparison is vacuous"
+    )
