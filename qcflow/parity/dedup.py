@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from qcflow.graph import resolve_clusters
 from qcflow.parity.registry import query, t
 
 # ---------------------------------------------------------------- corpora
@@ -43,6 +44,34 @@ def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     return docs.unionByName(copies)
+
+
+# chain corpus: two truncation levels so near-dup components have size 3
+# (orig -- copyA -- copyB) and cluster resolution is non-trivial
+_SQL_CORPUS_CHAIN = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substr(text, 1, greatest(length(text) - 20, 1)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         substr(text, 1, greatest(length(text) - 40, 1)) AS text
+  FROM documents WHERE doc_id % 14 = 0
+"""
+
+
+def _corpus_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy_a = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 20, 1))").alias("text"),
+    )
+    copy_b = docs.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, 1, greatest(length(text) - 40, 1))").alias("text"),
+    )
+    return docs.unionByName(copy_a).unionByName(copy_b)
 
 
 def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,11 +142,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- n-gram Jaccard dedup
 
-_SQL_JACCARD_PAIRS = f"""
-    WITH sh AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM ({_sql_shingled(_SQL_CORPUS_NEAR)})
+# Inverted-index pruning: shingles shared by more than DF_CAP documents are
+# excluded from the candidate join (power-law corpora have hot shingles that
+# would otherwise fan out O(df^2) pairs from a single shuffle key). Pair
+# recall bound: a pair where EVERY shared shingle is hot is dropped; with
+# |A|,|B| >= m shingles and <= c of them hot, a true pair needs
+# jaccard <= c/(2m - c) to be at risk, so for fixture docs (m >> c at
+# DF_CAP=50) nothing above the 0.5 threshold can be lost. Applied in BOTH
+# engines, so the oracle checks the capped computation exactly.
+_DF_CAP = 50
+
+
+def _sql_jaccard_pairs(corpus_sql: str, thr: float, df_cap: int = _DF_CAP) -> str:
+    return f"""
+    WITH sh_all AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM ({_sql_shingled(corpus_sql)})
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_all GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {df_cap}),
+    sh AS (SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -126,23 +169,28 @@ _SQL_JACCARD_PAIRS = f"""
     SELECT id_a, id_b,
            CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
     FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {{thr}}
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {thr}
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=_SQL_JACCARD_PAIRS.format(thr=0.5),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-gram shingles -> inverted-index
-    self-join (join on shingle, never a cross join) -> Jaccard >= 0.5.
-    The shuffle key is the shingle, so co-occurring docs meet without
-    materializing the O(n^2) pair space."""
-    sh = _with_shingles(_corpus_near(spark, sf_dir)).select(
+def _jaccard_pairs(corpus: DataFrame, thr: float, df_cap: int = _DF_CAP) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram shingles -> document-frequency cap
+    -> inverted-index self-join (join on shingle, never a cross join) ->
+    Jaccard >= thr. The shuffle key is the shingle; the df cap bounds the
+    worst key's fan-out at df_cap^2/2 candidate rows, so one hot shingle
+    can never melt a reducer. Jaccard denominators use the UNCAPPED
+    shingle counts (sizes are computed before pruning)."""
+    sh_all = _with_shingles(corpus).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sh_all.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -164,8 +212,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= thr)
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_sql_jaccard_pairs(_SQL_CORPUS_NEAR, thr=0.5),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs over the planted corpus (see _jaccard_pairs
+    for the df-capped inverted-index plan)."""
+    return _jaccard_pairs(_corpus_near(spark, sf_dir), thr=0.5)
 
 
 # ------------------------------------------------------- MinHash-LSH dedup
@@ -180,7 +238,9 @@ _MH_B_COEF = _rng.integers(0, 1 << 30, _MH_K).tolist()
 
 @query(
     "dedup_minhash_lsh",
-    oracle=_SQL_JACCARD_PAIRS.format(thr=0.7),
+    # uncapped exact Jaccard: the Spark side verifies candidates on full
+    # shingle arrays (array_intersect), so the oracle must not prune either
+    oracle=_sql_jaccard_pairs(_SQL_CORPUS_NEAR, thr=0.7, df_cap=1 << 30),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verify.
@@ -455,3 +515,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_cos") >= 0.99)
         .select("id_a", "id_b", F.round("_cos", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------- near-dup cluster resolution
+
+@query(
+    "dedup_resolve_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(_SQL_CORPUS_CHAIN, thr=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id AS doc_id, MIN(comp) AS cluster_rep
+              FROM reach GROUP BY id)
+    SELECT doc_id, cluster_rep,
+           COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+    FROM comps
+    """,
+)
+def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph -> survivor clusters: exact-Jaccard pairs on the
+    chain corpus (orig -- minus-20-chars copy -- minus-40-chars copy, so
+    components have size >= 3) resolved by distributed hash-min connected
+    components (qcflow/graph.py — iterated hash joins, no driver-side
+    union-find). cluster_rep = min doc_id of the component = the survivor;
+    the oracle recomputes components with a recursive CTE."""
+    pairs = _jaccard_pairs(_corpus_chain(spark, sf_dir), thr=0.5)
+    return resolve_clusters(pairs)
