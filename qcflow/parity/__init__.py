@@ -12,6 +12,7 @@ from qcflow.parity.registry import ORACLES, QUERIES, load_tables  # noqa: F401
 # Import for registration side effects.
 from qcflow.parity import tpch  # noqa: F401, E402
 from qcflow.parity import tpch2  # noqa: F401, E402
+from qcflow.parity import tpch3  # noqa: F401, E402
 from qcflow.parity import reference_ops  # noqa: F401, E402
 from qcflow.parity import dedup  # noqa: F401, E402
 from qcflow.parity import similarity  # noqa: F401, E402
