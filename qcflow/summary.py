@@ -62,13 +62,15 @@ def drop_reason_histogram(flagged: DataFrame, *dims: str) -> DataFrame:
     )
 
 
-def conf_histogram(scored: DataFrame, n_bins: int = 20) -> DataFrame:
-    """Langid-confidence distribution: fixed [0,1] bins."""
+def conf_histogram(scored: DataFrame, *extra_dims: str, n_bins: int = 20) -> DataFrame:
+    """Langid-confidence distribution: fixed [0,1] bins. ``extra_dims``
+    (e.g. bucket) key mergeable partials — fixed edges make per-partition
+    histograms sum-combinable by construction."""
     idx = F.least(
         F.floor(F.col("lang_conf") * n_bins).cast("int"), F.lit(n_bins - 1)
     )
     return (
-        scored.select("lang", idx.alias("conf_bin"))
-        .groupBy("lang", "conf_bin")
+        scored.select(*extra_dims, "lang", idx.alias("conf_bin"))
+        .groupBy(*extra_dims, "lang", "conf_bin")
         .agg(F.count("*").alias("n"))
     )

@@ -1,14 +1,23 @@
-"""Checkpoint/resume: kill-after-subset -> resume -> identical final state."""
+"""Checkpoint/resume/upsert semantics over the snapshot manifest:
+kill-resume identity, crash-invisibility, incremental metrics,
+MERGE-shaped bucket replace, zero-row buckets, vacuum."""
 
 from __future__ import annotations
-
-import shutil
 
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from qcflow.checkpoint import completed_buckets, run_resumable
+from qcflow.checkpoint import (
+    completed_buckets,
+    finalize_metrics,
+    merge_replace_buckets,
+    process_increment,
+    read_committed,
+    read_metrics,
+    run_resumable,
+    vacuum,
+)
 from qcflow.pipeline import score_clips, write_outputs
 
 CLIPS = "/root/repo/.cache/clips_t2k/clips.parquet"
@@ -29,6 +38,12 @@ def clips_ready(spark):
     if not os.path.exists(f"{CLIPS}/_SUCCESS"):
         synth.generate_clips(spark, 2000, "/root/repo/.cache/clips_t2k", partitions=8)
     return CLIPS
+
+
+def _pdf(df, drop=("bucket", "snapshot_id")):
+    cols = [c for c in df.columns if c not in drop]
+    out = df.select(*cols).toPandas().sort_values("clip_id").reset_index(drop=True)
+    return out[sorted(out.columns)]
 
 
 def test_resume_matches_oneshot(spark, out_dirs):
@@ -53,22 +68,10 @@ def test_resume_matches_oneshot(spark, out_dirs):
     res = score_clips(spark, clips, n_buckets=N_BUCKETS)
     write_outputs(res, oneshot)
 
-    for table in ["kept.parquet", "dropped.parquet"]:
-        a = (
-            spark.read.parquet(f"{resumed}/{table}")
-            .drop("bucket")
-            .toPandas()
-            .sort_values("clip_id")
-            .reset_index(drop=True)
-        )
-        b = (
-            spark.read.parquet(f"{oneshot}/{table}")
-            .drop("bucket")
-            .toPandas()
-            .sort_values("clip_id")
-            .reset_index(drop=True)
-        )
-        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    for table in ["kept", "dropped"]:
+        a = _pdf(read_committed(spark, resumed, table))
+        b = _pdf(spark.read.parquet(f"{oneshot}/{table}.parquet"))
+        pd.testing.assert_frame_equal(a, b)
 
     # lineage covers all buckets exactly once, totals match input
     lin = spark.read.parquet(f"{resumed}/lineage.parquet").toPandas()
@@ -76,18 +79,50 @@ def test_resume_matches_oneshot(spark, out_dirs):
     assert lin.n_input.sum() == 2000
     assert (lin.n_kept + lin.n_dropped == lin.n_input).all()
 
-    # metrics side tables were finalized
+    # metrics side tables were finalized and equal the one-shot's
     hist = spark.read.parquet(f"{resumed}/metrics_drop_reasons.parquet").toPandas()
     assert hist.n.sum() > 0
+    ref = spark.read.parquet(f"{oneshot}/metrics_drop_reasons.parquet").toPandas()
+    key = ["lang", "drop_reason"]
+    pd.testing.assert_frame_equal(
+        hist.sort_values(key).reset_index(drop=True)[key + ["n"]],
+        ref.sort_values(key).reset_index(drop=True)[key + ["n"]],
+    )
+
+
+def test_crashed_attempt_rows_are_invisible(spark, tmp_path, clips_ready):
+    """Rows appended by an attempt that never reached its lineage commit
+    must not appear in the committed view, and a resume must land the
+    identical final state (ADVICE r1: crash between kept/dropped append
+    and lineage append)."""
+    out = str(tmp_path / "crashy")
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS, max_buckets=4)
+
+    # simulate a crash: dead kept-rows under an uncommitted snapshot_id
+    kept = spark.read.parquet(f"{out}/kept.parquet")
+    dead = kept.limit(50).withColumn("snapshot_id", F.lit(999).cast("long"))
+    dead.write.mode("append").partitionBy("bucket").parquet(f"{out}/kept.parquet")
+
+    assert (
+        read_committed(spark, out, "kept")
+        .filter(F.col("snapshot_id") == 999)
+        .count()
+        == 0
+    )
+
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    committed = read_committed(spark, out, "kept")
+    # committed view has no duplicates even though dead rows exist on disk
+    n_raw = spark.read.parquet(f"{out}/kept.parquet").count()
+    ids = committed.select("clip_id").toPandas().clip_id
+    assert ids.is_unique
+    assert n_raw == len(ids) + 50
 
 
 def test_process_increment(spark, tmp_path, clips_ready):
     """Snapshot-diff: first 1500 clips processed, then the full 2000-row
-    snapshot arrives -> only the 500 new ones are scored and appended."""
-    from pyspark.sql import functions as F
-
-    from qcflow.checkpoint import process_increment, run_resumable
-
+    snapshot arrives -> only the 500 new ones are scored and appended;
+    metrics merge across increments without rescanning history."""
     out = str(tmp_path / "incr")
     v1 = str(tmp_path / "clips_v1")
     clips = spark.read.parquet(CLIPS)
@@ -95,15 +130,15 @@ def test_process_increment(spark, tmp_path, clips_ready):
 
     r1 = run_resumable(spark, v1, out, n_buckets=N_BUCKETS)
     assert r1["remaining"] == 0
-    n1 = spark.read.parquet(f"{out}/kept.parquet").count() + spark.read.parquet(
-        f"{out}/dropped.parquet"
+    n1 = read_committed(spark, out, "kept").count() + read_committed(
+        spark, out, "dropped"
     ).count()
     assert n1 == 1500
 
     r2 = process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
     assert r2["n_new"] == 500
-    kept = spark.read.parquet(f"{out}/kept.parquet")
-    dropped = spark.read.parquet(f"{out}/dropped.parquet")
+    kept = read_committed(spark, out, "kept")
+    dropped = read_committed(spark, out, "dropped")
     assert kept.count() + dropped.count() == 2000
     # no clip scored twice
     ids = kept.select("clip_id").unionByName(dropped.select("clip_id")).toPandas()
@@ -112,3 +147,88 @@ def test_process_increment(spark, tmp_path, clips_ready):
     # idempotent: re-running the same snapshot adds nothing
     r3 = process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
     assert r3["n_new"] == 0
+
+    # metrics across both increments equal a from-scratch recompute ...
+    merged = read_metrics(spark, out, "drop_reasons").toPandas()
+    scratch = (
+        dropped.select("lang", F.explode(F.split("drop_reasons", ",")).alias("drop_reason"))
+        .groupBy("lang", "drop_reason")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    key = ["lang", "drop_reason"]
+    pd.testing.assert_frame_equal(
+        merged.sort_values(key).reset_index(drop=True),
+        scratch.sort_values(key).reset_index(drop=True),
+    )
+    # ... and the merge plan never scans the kept/dropped history
+    plan = read_metrics(spark, out, "drop_reasons")._jdf.queryExecution().toString()
+    assert "kept.parquet" not in plan and "dropped.parquet" not in plan
+
+
+def test_merge_replace_buckets_upserts(spark, tmp_path, clips_ready):
+    """MERGE-shaped upsert: re-processing a bucket from corrected input
+    REPLACES its committed rows instead of duplicating them."""
+    out = str(tmp_path / "merge")
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    before = read_committed(spark, out, "kept")
+    total_before = before.count() + read_committed(spark, out, "dropped").count()
+
+    bucket = int(before.select("bucket").first()["bucket"])
+    n_bucket = (
+        before.filter(F.col("bucket") == bucket).count()
+        + read_committed(spark, out, "dropped").filter(F.col("bucket") == bucket).count()
+    )
+
+    # corrected input: same clips, transcripts upper-cased for the bucket
+    fixed = str(tmp_path / "clips_fixed")
+    spark.read.parquet(CLIPS).withColumn(
+        "transcript", F.upper("transcript")
+    ).write.parquet(fixed)
+    r = merge_replace_buckets(spark, fixed, out, [bucket], n_buckets=N_BUCKETS)
+    assert r["replaced_buckets"] == 1
+
+    kept = read_committed(spark, out, "kept")
+    dropped = read_committed(spark, out, "dropped")
+    assert kept.count() + dropped.count() == total_before  # replaced, not duplicated
+    assert (
+        kept.filter(F.col("bucket") == bucket).count()
+        + dropped.filter(F.col("bucket") == bucket).count()
+        == n_bucket
+    )
+    ids = kept.select("clip_id").unionByName(dropped.select("clip_id")).toPandas()
+    assert ids.clip_id.is_unique
+    # the replacement actually took effect: scrubbed transcripts upper-cased
+    sample = kept.filter(F.col("bucket") == bucket).select("scrubbed_transcript").first()
+    if sample is not None:
+        assert sample[0] == sample[0].upper()
+
+
+def test_zero_row_buckets_commit(spark, tmp_path, clips_ready):
+    """Sparse input (20 rows over 64 buckets): empty buckets still get
+    lineage rows, so the second invocation is the documented no-op
+    (ADVICE r1)."""
+    out = str(tmp_path / "sparse")
+    v = str(tmp_path / "clips_sparse")
+    spark.read.parquet(CLIPS).limit(20).write.parquet(v)
+    r1 = run_resumable(spark, v, out, n_buckets=64)
+    assert r1["remaining"] == 0
+    assert len(completed_buckets(spark, out)) == 64
+    r2 = run_resumable(spark, v, out, n_buckets=64)
+    assert r2["processed_buckets"] == 0
+
+
+def test_vacuum_drops_dead_rows(spark, tmp_path, clips_ready):
+    out = str(tmp_path / "vac")
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    kept = spark.read.parquet(f"{out}/kept.parquet")
+    dead = kept.limit(30).withColumn("snapshot_id", F.lit(777).cast("long"))
+    dead.write.mode("append").partitionBy("bucket").parquet(f"{out}/kept.parquet")
+
+    before = _pdf(read_committed(spark, out, "kept"))
+    vacuum(spark, out)
+    raw = spark.read.parquet(f"{out}/kept.parquet")
+    assert raw.filter(F.col("snapshot_id") == 777).count() == 0
+    after = _pdf(read_committed(spark, out, "kept"))
+    pd.testing.assert_frame_equal(before, after)
+    finalize_metrics(spark, out)  # still works post-compaction
