@@ -13,12 +13,25 @@ Semantics notes:
 - foreachBatch is at-least-once; effectively-once comes from batch_id-
   partitioned dynamic-overwrite writes (a retried batch replaces its own
   partition) on top of checkpointLocation's source-progress tracking.
+  The overwrite mode is scoped to the WRITER (never session conf — a
+  session-level dynamic mode would silently turn later partitioned
+  overwrite writes elsewhere into partition-scoped ones).
+- An ingest pipeline dedups at the door: ``dedup_within`` enables
+  ``dropDuplicatesWithinWatermark`` on clip_id over the ``ingest_ts``
+  event-time column — state is bounded by the watermark delay instead of
+  growing with the corpus (the unbounded-state failure of a plain
+  dropDuplicates on an infinite stream).
+- batch_id-partitioned output grows one directory per trigger;
+  ``compact_stream_output`` folds committed batches into a single
+  batch_id = -1 partition between runs so file count stays bounded
+  across thousands of triggers.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from qcflow.features import clip_features
@@ -28,6 +41,14 @@ from qcflow.schema import CLIPS_SCHEMA
 from qcflow.scrub import scrub
 from qcflow.udfs import with_langid_ppl
 
+# continuous-ingest source schema: the clip table plus the landing-time
+# event-time column the watermark dedup keys state eviction on
+CLIPS_INGEST_SCHEMA = T.StructType(
+    CLIPS_SCHEMA.fields + [T.StructField("ingest_ts", T.TimestampType(), True)]
+)
+
+COMPACTED_BATCH_ID = -1
+
 
 def stream_score(
     spark: SparkSession,
@@ -36,13 +57,24 @@ def stream_score(
     thresholds: Thresholds,
     n_buckets: int = N_BUCKETS,
     max_files_per_trigger: int = 8,
+    dedup_within: str | None = None,
 ) -> StreamingQuery:
-    """File-source stream -> QC score -> exactly-once parquet appends."""
+    """File-source stream -> (optional watermarked dedup) -> QC score ->
+    exactly-once parquet appends. ``dedup_within`` (e.g. "10 minutes")
+    drops re-deliveries of the same clip_id arriving within the watermark
+    delay; the source schema must then carry ``ingest_ts``."""
+    schema = CLIPS_INGEST_SCHEMA if dedup_within else CLIPS_SCHEMA
     stream = (
-        spark.readStream.schema(CLIPS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    if dedup_within:
+        stream = (
+            stream.withWatermark("ingest_ts", dedup_within)
+            .dropDuplicatesWithinWatermark(["clip_id"])
+            .drop("ingest_ts")
+        )
     scored = stream.drop("bytes").withColumn("bucket", bucket_col(n_buckets))
     scored = clip_features(scored)
     scored = with_langid_ppl(scored, spark)
@@ -51,20 +83,27 @@ def stream_score(
     def sink(batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a failed/restarted batch re-runs
         # with the SAME batch_id. Writes are batch_id-partitioned with
-        # dynamic partition overwrite, so a retry replaces its own
-        # partition instead of appending duplicates -> effectively-once.
-        spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # dynamic partition overwrite (writer-scoped option), so a retry
+        # replaces its own partition instead of appending duplicates ->
+        # effectively-once.
         batch = batch.withColumn("batch_id", F.lit(batch_id)).persist()
-        batch.filter(F.col("keep")).select("batch_id", *KEEP_COLS).repartition(
-            "bucket"
-        ).write.mode("overwrite").partitionBy("batch_id", "bucket").parquet(
-            f"{out_dir}/kept.parquet"
+        (
+            batch.filter(F.col("keep"))
+            .select("batch_id", *KEEP_COLS)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(f"{out_dir}/kept.parquet")
         )
-        batch.filter(~F.col("keep")).select("batch_id", *DROP_COLS).repartition(
-            "bucket"
-        ).write.mode("overwrite").partitionBy("batch_id", "bucket").parquet(
-            f"{out_dir}/dropped.parquet"
+        (
+            batch.filter(~F.col("keep"))
+            .select("batch_id", *DROP_COLS)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(f"{out_dir}/dropped.parquet")
         )
         (
             batch.groupBy("batch_id", "bucket")
@@ -74,6 +113,7 @@ def stream_score(
                 F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
             )
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(f"{out_dir}/lineage.parquet")
         )
@@ -85,6 +125,50 @@ def stream_score(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_stream_output(
+    spark: SparkSession, out_dir: str, keep_last: bool = True
+) -> dict:
+    """Fold committed batch partitions into one ``batch_id = -1``
+    partition so file/directory count stays bounded across triggers.
+
+    Run between streaming runs (the availableNow pattern: stream ->
+    compact -> stream). ``keep_last`` leaves the highest live batch_id
+    uncompacted: if the previous run crashed mid-batch before its
+    checkpoint commit, the restart re-runs that batch_id and dynamic
+    overwrite must find its rows in its OWN partition, not already moved
+    into the compacted one (which would duplicate them). Batches whose
+    checkpoint offsets are committed can never re-run, so folding them
+    is safe."""
+    import shutil
+
+    stats = {}
+    for table in ("kept", "dropped", "lineage"):
+        path = f"{out_dir}/{table}.parquet"
+        df = spark.read.parquet(path)
+        ids = sorted(
+            r["batch_id"]
+            for r in df.select("batch_id").distinct().collect()
+            if r["batch_id"] != COMPACTED_BATCH_ID
+        )
+        fold = ids[:-1] if keep_last else ids
+        if not fold:
+            stats[table] = 0
+            continue
+        merged = (
+            df.filter(F.col("batch_id").isin(fold + [COMPACTED_BATCH_ID]))
+            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+            .localCheckpoint(eager=True)  # cut lineage before dir deletes
+        )
+        parts = ["batch_id", "bucket"] if table != "lineage" else ["batch_id"]
+        merged.repartition(*parts).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(*parts).parquet(path)
+        for b in fold:
+            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+        stats[table] = len(fold)
+    return stats
 
 
 def windowed_drop_metrics(

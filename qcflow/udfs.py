@@ -35,9 +35,20 @@ from qcflow.models import (
 )
 
 
+_MODEL_BC_CACHE: dict = {}
+
+
 def _broadcast_models(spark: SparkSession, seed: int = 1234):
+    """One broadcast per (application, seed): repeated calls (streaming
+    restarts, per-increment runs, bench loops) must reuse the existing
+    broadcast instead of accumulating blocks on driver and executors."""
     sc = spark.sparkContext
-    return sc.broadcast(train_models(seed))
+    key = (sc.applicationId, seed)
+    bc = _MODEL_BC_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast(train_models(seed))
+        _MODEL_BC_CACHE[key] = bc
+    return bc
 
 
 def _score_batch(models: QcModels, texts: pd.Series) -> pd.DataFrame:

@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from qcflow.pipeline import score_clips
 from qcflow.rules import Thresholds
-from qcflow.streaming import stream_score, windowed_drop_metrics
+from qcflow.streaming import (
+    compact_stream_output,
+    stream_score,
+    windowed_drop_metrics,
+)
 
 THR = Thresholds(repetition_lo=0.3, cps_lo=5.0, cps_hi=30.0, ppl_hi=50.0)
 
@@ -63,6 +67,68 @@ def test_stream_restart_is_exactly_once(spark, stream_input, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(f"{out}/kept.parquet").count()
     assert n1 == n2
+
+
+def test_stream_dedup_within_watermark(spark, stream_input, tmp_path):
+    """A duplicate-bearing stream (every clip delivered twice, in two
+    separate arrival files) scores each clip exactly once when
+    dedup_within is on."""
+    src = str(tmp_path / "dup_in")
+    clips = spark.read.parquet(stream_input).limit(300).withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    clips.coalesce(1).write.mode("overwrite").parquet(src)
+    # redelivery 30s later, inside the 10-minute watermark
+    clips.withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2024-01-01 00:00:30"))
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    q = stream_score(spark, src, out, THR, dedup_within="10 minutes")
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out}/kept.parquet").select("clip_id").unionByName(
+        spark.read.parquet(f"{out}/dropped.parquet").select("clip_id")
+    ).toPandas()
+    assert len(got) == 300
+    assert got.clip_id.is_unique
+
+
+def test_compaction_bounds_files(spark, stream_input, tmp_path):
+    """Many-trigger output folds into one compacted batch partition:
+    file count drops, content identical, restart still exactly-once."""
+    import glob
+
+    out = str(tmp_path / "compact_out")
+    q = stream_score(spark, stream_input, out, THR, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    def files(table):
+        return glob.glob(f"{out}/{table}.parquet/**/*.parquet", recursive=True)
+
+    def content(table):
+        return (
+            spark.read.parquet(f"{out}/{table}.parquet")
+            .drop("batch_id")
+            .toPandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+
+    lin = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    assert lin.batch_id.nunique() >= 3  # one trigger per file
+    before_files = len(files("kept"))
+    before = content("kept")
+
+    compact_stream_output(spark, out)
+    assert len(files("kept")) < before_files
+    after = content("kept")
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)], after[sorted(after.columns)]
+    )
+    # restart against the same checkpoint: no new files -> no duplicates
+    q2 = stream_score(spark, stream_input, out, THR)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/kept.parquet").count() == len(after)
 
 
 def test_windowed_metrics(spark, tmp_path):
