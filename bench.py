@@ -84,6 +84,47 @@ def main() -> int:
     queries["qc_pipeline_pcm"] = round(pcm_sec, 3)
     res2.release()
 
+    # --- skew demonstration on the metrics shapes ------------------------
+    # 4M rows, 70% on one key (the clip table's Zipf language shape).
+    # Measured findings recorded in BENCH/BASELINE.md:
+    # - rank-filtered per-group top-k is ALREADY de-skewed by Spark 4's
+    #   WindowGroupLimit (map-side group limit), so qcflow/skew.py's
+    #   salted variant only matters for window funcs without group-limit
+    #   support; both are benched to keep that claim measured.
+    # - the genuine skew victim in the metrics path is the per-lang EXACT
+    #   percentile: its aggregation buffer holds every value of the hot
+    #   key on one reducer. The mergeable sketch (percentile_approx) is
+    #   the scale fix — same threshold role, map-side combinable.
+    from qcflow.skew import topk_per_group
+
+    skewed = spark.range(4_000_000).select(
+        F.when(F.col("id") % 10 < 7, "eng")
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 10).cast("string")))
+        .alias("lang"),
+        F.col("id").alias("row_id"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1_000_000_007))
+        .cast("double")
+        .alias("perplexity"),
+    ).localCheckpoint(eager=True)
+    order = [F.col("perplexity").desc(), F.col("row_id")]
+    for label, salt_by in (("skew_topk_unsalted", None), ("skew_topk_salted", "row_id")):
+        t0 = time.time()
+        topk_per_group(skewed, ["lang"], order, 100, salt_by=salt_by).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        queries[label] = round(time.time() - t0, 3)
+    t0 = time.time()
+    skewed.groupBy("lang").agg(
+        F.percentile("perplexity", 0.99).alias("p99")
+    ).write.format("noop").mode("overwrite").save()
+    queries["skew_plang_p99_exact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    skewed.groupBy("lang").agg(
+        F.percentile_approx("perplexity", 0.99, 10000).alias("p99")
+    ).write.format("noop").mode("overwrite").save()
+    queries["skew_plang_p99_sketch"] = round(time.time() - t0, 3)
+    skewed.unpersist()
+
     # --- parity queries over the star schema ----------------------------
     for name in PARITY_QUERIES:
         fn = QUERIES[name]

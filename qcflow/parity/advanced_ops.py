@@ -216,6 +216,33 @@ def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment")
 
 
+@query(
+    "x_salted_topk",
+    oracle="""
+    SELECT event_type, event_id, value, rank FROM (
+      SELECT event_type, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id) AS INT) AS rank
+      FROM events)
+    WHERE rank <= 5
+    """,
+)
+def x_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-group top-k (qcflow/skew.py): the holistic
+    window op neither partial aggregation nor AQE de-skews. Semantically
+    invisible — the oracle is the plain one-window SQL."""
+    from qcflow.skew import topk_per_group
+
+    ev = t(spark, sf_dir, "events")
+    return topk_per_group(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id")],
+        5,
+        salt_by="event_id",
+    ).select("event_type", "event_id", "value", "rank")
+
+
 _BAND_US = 3_600_000_000  # +/-1h: 12 pairs at sf0.001, 71 at sf0.01 — the
 # +/-60s band the first draft used matched ZERO rows below sf0.1, so the
 # oracle check was vacuous (a regression to an always-empty plan passed).
