@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from qcflow.graph import resolve_clusters
+from qcflow.graph import resolve_clusters, survivors
 from qcflow.parity.registry import query, t
 
 # ---------------------------------------------------------------- corpora
@@ -545,3 +545,28 @@ def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes components with a recursive CTE."""
     pairs = _jaccard_pairs(_corpus_chain(spark, sf_dir), thr=0.5)
     return resolve_clusters(pairs)
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(_SQL_CORPUS_CHAIN, thr=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id, MIN(comp) AS rep FROM reach GROUP BY id)
+    SELECT doc_id FROM ({_SQL_CORPUS_CHAIN}) c
+    WHERE NOT EXISTS (SELECT 1 FROM comps
+                      WHERE comps.id = c.doc_id AND comps.rep <> c.doc_id)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus itself — what the dedup stage actually emits:
+    every document minus non-representative cluster members (anti-join
+    of the resolved losers; singletons survive untouched)."""
+    corpus = _corpus_chain(spark, sf_dir)
+    pairs = _jaccard_pairs(corpus, thr=0.5)
+    return survivors(corpus.select("doc_id"), pairs)
