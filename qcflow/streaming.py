@@ -171,6 +171,58 @@ def compact_stream_output(
     return stats
 
 
+def stateful_lang_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    queryName: str = "qc_lang_monitor",
+) -> StreamingQuery:
+    """Custom stateful operator (applyInPandasWithState): per-language
+    cumulative keep/drop totals maintained across micro-batches — the
+    running QC health monitor a continuous ingest pipeline exports.
+
+    State per lang is two longs (bounded by language cardinality, never
+    by stream length); each batch's groups arrive as Arrow-backed pandas
+    frames, so the update is a vectorized sum, not per-row Python. Update
+    output mode emits only languages touched by the batch."""
+    import pandas as pd  # noqa: F401 (signature of the state func)
+
+    schema = "lang string, keep boolean"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one arrival file per micro-batch
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state):
+        n, dropped = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            dropped += int((~pdf["keep"]).sum())
+        state.update((n, dropped))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"lang": [key[0]], "n_total": [n], "n_dropped_total": [dropped]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = stream.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, n_total long, n_dropped_total long",
+        stateStructType="n long, dropped long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_drop_metrics(
     spark: SparkSession,
     input_dir: str,

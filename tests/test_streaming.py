@@ -10,6 +10,7 @@ from qcflow.pipeline import score_clips
 from qcflow.rules import Thresholds
 from qcflow.streaming import (
     compact_stream_output,
+    stateful_lang_monitor,
     stream_score,
     windowed_drop_metrics,
 )
@@ -129,6 +130,30 @@ def test_compaction_bounds_files(spark, stream_input, tmp_path):
     q2 = stream_score(spark, stream_input, out, THR)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/kept.parquet").count() == len(after)
+
+
+def test_stateful_lang_monitor_accumulates(spark, tmp_path):
+    """Two arrival files -> state carries per-lang totals across batches;
+    the final emitted row per lang is the cumulative count."""
+    src = str(tmp_path / "mon")
+    pd.DataFrame({"lang": ["aru"] * 3 + ["bel"], "keep": [True, False, True, True]}).pipe(
+        spark.createDataFrame
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    pd.DataFrame({"lang": ["aru"] * 2, "keep": [False, False]}).pipe(
+        spark.createDataFrame
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stateful_lang_monitor(spark, src, queryName="qc_mon_test")
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM qc_mon_test").toPandas()
+    # one file per trigger -> aru emits once per batch, proving the state
+    # actually crossed micro-batches (not one big batch)
+    assert (out.lang == "aru").sum() == 2
+    last = out.groupby("lang").agg({"n_total": "max", "n_dropped_total": "max"})
+    assert last.loc["aru", "n_total"] == 5
+    assert last.loc["aru", "n_dropped_total"] == 3
+    assert last.loc["bel", "n_total"] == 1
+    assert last.loc["bel", "n_dropped_total"] == 0
 
 
 def test_windowed_metrics(spark, tmp_path):
