@@ -45,7 +45,7 @@ from qcflow.pipeline import (
     score_clips,
 )
 from qcflow.rules import Thresholds, derive_thresholds
-from qcflow.summary import conf_histogram, drop_reason_histogram
+from qcflow.summary import cube_conf_histogram, cube_drop_reasons, cube_lineage, metrics_cube
 from qcflow.features import clip_features
 from qcflow.udfs import with_langid_ppl
 
@@ -153,19 +153,17 @@ def _write_attempt(
         f"{out_dir}/dropped.parquet"
     )
     # metric partials, keyed by (snapshot_id, bucket) so a later bucket
-    # replace invalidates exactly the right slice on read
-    drop_reason_histogram(scored, "bucket", "lang").select(
+    # replace invalidates exactly the right slice on read; both partials
+    # and the lineage rows derive from ONE full-data aggregate
+    cube = metrics_cube(scored).localCheckpoint(eager=True)
+    cube_drop_reasons(cube, "bucket", "lang").select(
         snap, "bucket", "lang", "drop_reason", "n"
     ).write.mode("append").parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet")
-    conf_histogram(scored, "bucket").select(
+    cube_conf_histogram(cube, "bucket").select(
         snap, "bucket", "lang", "conf_bin", "n"
     ).write.mode("append").parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
 
-    lin = scored.groupBy("bucket").agg(
-        F.count("*").alias("n_input"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
-    )
+    lin = cube_lineage(cube)
     if all_buckets is not None:
         todo_df = spark.createDataFrame(
             [(int(b),) for b in all_buckets], "bucket int"

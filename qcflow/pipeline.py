@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from qcflow.features import clip_features, pcm_consistency
 from qcflow.rules import Thresholds, apply_rules, derive_thresholds
 from qcflow.scrub import scrub
-from qcflow.summary import conf_histogram, drop_reason_histogram
+from qcflow.summary import (
+    cube_conf_histogram,
+    cube_drop_reasons,
+    cube_lineage,
+    metrics_cube,
+)
 from qcflow.udfs import with_langid_ppl
 
 N_BUCKETS = 64
@@ -125,15 +130,6 @@ KEEP_COLS = [
 DROP_COLS = ["clip_id", "bucket", "lang", "lang_conf", "drop_reasons"]
 
 
-def lineage(scored: DataFrame) -> DataFrame:
-    """Per-bucket lineage row: input/kept/dropped counts (resume manifest)."""
-    return scored.groupBy("bucket").agg(
-        F.count("*").alias("n_input"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
-    )
-
-
 def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     """Materialize kept/dropped/metrics/lineage. Returns counts.
 
@@ -149,13 +145,17 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     dropped.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
         f"{out_dir}/dropped.parquet"
     )
-    drop_reason_histogram(scored, "lang").write.mode(mode).parquet(
+    # metrics + lineage all derive from ONE full-data aggregate (the cube)
+    # instead of three independent shuffles over the scored frame; the
+    # cube is dimension-sized, so pinning it is free
+    cube = metrics_cube(scored).localCheckpoint(eager=True)
+    cube_drop_reasons(cube, "lang").write.mode(mode).parquet(
         f"{out_dir}/metrics_drop_reasons.parquet"
     )
-    conf_histogram(scored).write.mode(mode).parquet(
+    cube_conf_histogram(cube).write.mode(mode).parquet(
         f"{out_dir}/metrics_lang_conf.parquet"
     )
-    lin = lineage(scored)
+    lin = cube_lineage(cube)
     lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
     # totals from the (bucket-sized) lineage table — no extra full scan;
     # NULL sums (empty input) count as zero

@@ -62,6 +62,56 @@ def drop_reason_histogram(flagged: DataFrame, *dims: str) -> DataFrame:
     )
 
 
+CONF_BINS = 20
+
+
+def conf_bin_col(n_bins: int = CONF_BINS) -> Column:
+    return F.least(
+        F.floor(F.col("lang_conf") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+
+
+def metrics_cube(scored: DataFrame) -> DataFrame:
+    """ONE full-data aggregate at the finest metrics grain — every
+    metrics/lineage table derives from this cube with dimension-sized
+    re-aggregations, so a 10^12-row scored frame is shuffled once for
+    metrics instead of once per table. Cardinality is bounded:
+    buckets x langs x conf bins x observed rule-combination strings."""
+    return scored.groupBy(
+        "bucket", "lang", conf_bin_col().alias("conf_bin"), "drop_reasons"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def cube_drop_reasons(cube: DataFrame, *dims: str) -> DataFrame:
+    """(dims, drop_reason, n) from the cube: explode runs on the
+    aggregated frame, not the raw rows."""
+    return (
+        cube.filter(F.col("drop_reasons") != "")
+        .select(*dims, F.explode(F.split("drop_reasons", ",")).alias("drop_reason"), "n")
+        .groupBy(*dims, "drop_reason")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cube_conf_histogram(cube: DataFrame, *extra_dims: str) -> DataFrame:
+    return (
+        cube.groupBy(*extra_dims, "lang", "conf_bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cube_lineage(cube: DataFrame) -> DataFrame:
+    """Per-bucket lineage row (resume manifest) from the cube."""
+    return cube.groupBy("bucket").agg(
+        F.sum("n").alias("n_input"),
+        F.sum("n_kept").alias("n_kept"),
+        (F.sum("n") - F.sum("n_kept")).alias("n_dropped"),
+    )
+
+
 def conf_histogram(scored: DataFrame, *extra_dims: str, n_bins: int = 20) -> DataFrame:
     """Langid-confidence distribution: fixed [0,1] bins. ``extra_dims``
     (e.g. bucket) key mergeable partials — fixed edges make per-partition
