@@ -77,9 +77,11 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        labels.unpersist()  # release the superseded iteration's blocks
         labels = new
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

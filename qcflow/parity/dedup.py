@@ -539,10 +539,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_resolve_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair graph -> survivor clusters: exact-Jaccard pairs on the
     chain corpus (orig -- minus-20-chars copy -- minus-40-chars copy, so
-    components have size >= 3) resolved by distributed hash-min connected
-    components (qcflow/graph.py — iterated hash joins, no driver-side
-    union-find). cluster_rep = min doc_id of the component = the survivor;
-    the oracle recomputes components with a recursive CTE."""
+    doc_id%14 docs form size-3 chains, %7 docs size-2, plus incidental
+    cross-doc near-dups up to size 5) resolved by distributed hash-min
+    connected components (qcflow/graph.py — iterated hash joins, no
+    driver-side union-find). cluster_rep = min doc_id of the component =
+    the survivor; the oracle recomputes components with a recursive CTE."""
     pairs = _jaccard_pairs(_corpus_chain(spark, sf_dir), thr=0.5)
     return resolve_clusters(pairs)
 
