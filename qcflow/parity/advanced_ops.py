@@ -217,6 +217,45 @@ def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_ecdf_aggregated",
+    oracle="""
+    SELECT event_type, value, cume_dist() OVER (PARTITION BY event_type
+                                                ORDER BY value) AS ecdf
+    FROM events
+    """,
+)
+def x_ecdf_aggregated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ECDF without sorting raw rows: cume_dist over the hot
+    group serializes every row of that group into one task (and has no
+    WindowGroupLimit escape). Rewrite: aggregate to (group, value, count)
+    first — the window then runs over DISTINCT values (bounded by value
+    cardinality, not row count) with a weighted cumulative sum, and raw
+    rows join the per-value ecdf back by equi-key. Semantically identical
+    to cume_dist: ecdf(v) = (#rows <= v) / n. Oracle is the plain
+    one-window SQL."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    per_value = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "value",
+            (F.col("cum").cast("double") / F.col("n")).alias("ecdf"),
+        )
+    )
+    return ev.select("event_type", "value").join(
+        per_value, ["event_type", "value"]
+    )
+
+
+@query(
     "x_salted_topk",
     oracle="""
     SELECT event_type, event_id, value, rank FROM (

@@ -27,6 +27,15 @@ _planes = np.round(
     np.random.default_rng(4242).normal(0, 1, (N_PLANES, 64)), 6
 )
 
+# IVF coarse quantizer: a fixed random codebook (seeded, inlined into both
+# dialects). A trained k-means codebook would tighten the lists but the
+# PLAN is identical — assignment, inverted lists, probing, rerank — and a
+# fixed codebook keeps the oracle exact.
+N_CENTROIDS = 16
+N_PROBE = 2
+_centroids = np.round(np.random.default_rng(1717).normal(0, 1, (N_CENTROIDS, 64)), 6)
+_centroid_norms = np.sqrt((_centroids**2).sum(axis=1))
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -240,6 +249,117 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# -------------------------------------------------------------- IVF ANN
+
+def _sql_centroid_literal(h: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _centroids[h]) + "]"
+
+
+def _sql_centroid_scores() -> str:
+    """list of dot(emb, C_h)/|C_h| for every centroid (cosine up to the
+    vector's own norm, which cancels in the per-vector argmax)."""
+    terms = ", ".join(
+        f"{_SQL_DOT.format(a='emb', b=_sql_centroid_literal(h))} / {repr(float(_centroid_norms[h]))}"
+        for h in range(N_CENTROIDS)
+    )
+    return f"[{terms}]"
+
+
+def _spark_centroid_scores() -> Column:
+    terms = []
+    for h in range(N_CENTROIDS):
+        c = F.array(*[F.lit(float(v)) for v in _centroids[h]])
+        terms.append(_dot(F.col("emb"), c) / F.lit(float(_centroid_norms[h])))
+    return F.array(*terms)
+
+
+@query(
+    "ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_SQL_EMB} AS emb FROM embeddings),
+    s AS (SELECT vec_id, emb, {_SQL_NORM} AS nrm,
+                 {_sql_centroid_scores()} AS cs FROM e),
+    n AS (SELECT vec_id, emb, nrm,
+                 list_position(cs, list_max(cs)) AS cluster, cs FROM s),
+    qp AS (  -- each query probes its top-{N_PROBE} centroids
+      SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+             unnest([
+               cluster,
+               list_position(
+                 list_transform(range(1, {N_CENTROIDS} + 1),
+                                i -> CASE WHEN i = cluster THEN -1e300 ELSE cs[i] END),
+                 list_max(
+                   list_transform(range(1, {N_CENTROIDS} + 1),
+                                  i -> CASE WHEN i = cluster THEN -1e300 ELSE cs[i] END)))
+             ]) AS probe
+      FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="qp.q_emb", b="c.emb")} / (qp.q_nrm * c.nrm) AS cos
+      FROM qp JOIN n c ON c.cluster = qp.probe AND c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest coarse
+    centroid (the inverted-list key); queries probe their top-{N_PROBE}
+    centroids and rerank exactly within the probed lists. At 10^9 vectors
+    the lists are the partition layout — assignment is a scan-side
+    column, the probe join shuffles (cluster, id) pairs only, and rerank
+    fan-in is nprobe/{N_CENTROIDS} of the corpus per query. Argmax ties
+    break on first index in BOTH engines (array_position of the max)."""
+    emb = _emb_double(t(spark, sf_dir, "embeddings"))
+    nrm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    n = (
+        emb.withColumn("nrm", nrm)
+        .withColumn("cs", _spark_centroid_scores())
+        .withColumn("cluster", F.array_position(F.col("cs"), F.array_max("cs")))
+    )
+    # second-best centroid: mask the winner to -inf, argmax again
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS)),
+        lambda i: F.when(i == F.col("cluster"), F.lit(-1e300)).otherwise(
+            F.element_at(F.col("cs"), i.cast("int"))
+        ),
+    )
+    q = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("masked", masked)
+        .withColumn("probe2", F.array_position(F.col("masked"), F.array_max("masked")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(F.array("cluster", "probe2")).alias("probe"),
+        )
+    )
+    scored = (
+        n.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

@@ -69,6 +69,41 @@ def test_pairmatch_band_join_is_hash_not_nested_loop(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketBy(8, clip_id) +
+    sortBy join with NO Exchange in the plan — the big-join strategy when
+    both sides are too large to broadcast and the join key is stable
+    (clip_id everywhere in this engine). On a cluster this is the
+    pre-bucketed Iceberg table layout."""
+    from pyspark.sql import functions as F
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/bdemo'")
+    a = spark.range(20000).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("clip_id"),
+        (F.col("id") % 7).alias("x"),
+    )
+    b = spark.range(20000).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("clip_id"),
+        (F.col("id") % 5).alias("y"),
+    )
+    for name, df in (("t1", a), ("t2", b)):
+        df.write.bucketBy(8, "clip_id").sortBy("clip_id").mode(
+            "overwrite"
+        ).saveAsTable(f"bdemo.{name}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bdemo.t1").join(spark.table("bdemo.t2"), "clip_id")
+        p = plan_of(j)
+        assert "Exchange" not in p, f"bucketed join still shuffles:\n{p}"
+        assert j.count() == 20000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bdemo.t1")
+        spark.sql("DROP TABLE IF EXISTS bdemo.t2")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")
+
+
 def _dummy_thr():
     from qcflow.rules import Thresholds
 
