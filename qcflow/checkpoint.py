@@ -109,11 +109,30 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
 
 
 def next_snapshot_id(spark: SparkSession, out_dir: str) -> int:
+    """Allocate a snapshot id that no attempt has EVER used — committed or
+    crashed. Deriving it from committed lineage alone would reuse the id
+    of an attempt that died before its commit, resurrecting its dead rows
+    into the committed view. The allocation is a counter file advanced
+    with an atomic rename BEFORE any data is written (a crashed attempt
+    burns its id; single-writer, like the rest of the manifest)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "snapshot_counter")
+    prev = -1
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = int(f.read().strip())
     lin = _read_lineage(spark, out_dir)
-    if lin is None:
-        return 0
-    mx = lin.agg(F.max("snapshot_id")).collect()[0][0]
-    return int(mx) + 1 if mx is not None else 0
+    if lin is not None:
+        # belt-and-braces for manifests created before the counter existed
+        mx = lin.agg(F.max("snapshot_id")).collect()[0][0]
+        if mx is not None:
+            prev = max(prev, int(mx))
+    nxt = prev + 1
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, path)
+    return nxt
 
 
 def read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
@@ -339,21 +358,69 @@ def merge_replace_buckets(
     return {"replaced_buckets": len(buckets), "snapshot_id": snap}
 
 
+def _swap_in(tmp: str, live: str) -> None:
+    """Crash-tolerant directory swap: the live table is renamed aside (not
+    deleted) before the compacted one takes its place, so no crash window
+    leaves the table missing; the .old copy is dropped only after the
+    rename succeeded."""
+    import shutil
+
+    old = live + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except OSError:
+        os.rename(old, live)  # restore; tmp is left for inspection
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
-    """Physically drop dead rows (crashed attempts, superseded snapshots)
-    by rewriting kept/dropped to the committed view — the expire-snapshots
-    / compaction analog. Local-FS implementation of the final swap; on a
-    real deployment this is Iceberg's rewrite_data_files."""
+    """Physically expire dead state (crashed attempts, superseded
+    snapshots): kept/dropped rewritten to the committed view, metric
+    PARTIALS pruned to committed (snapshot, bucket) slices, and the
+    lineage manifest reduced to its currently-valid rows — so manifest
+    and partials stay attempt-count-bounded over a long increment+replace
+    history, not append-forever. The expire-snapshots / rewrite_data_files
+    analog over the local FS."""
     import shutil
 
     stats = {}
+    vp = valid_pairs(spark, out_dir)
+    vp = vp.localCheckpoint(eager=True) if vp is not None else None
     for table in ("kept", "dropped"):
         committed = read_committed(spark, out_dir, table).localCheckpoint(eager=True)
         stats[table] = committed.count()
         tmp = f"{out_dir}/{table}.parquet.compact"
+        shutil.rmtree(tmp, ignore_errors=True)
         committed.repartition("bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(tmp)
-        shutil.rmtree(f"{out_dir}/{table}.parquet")
-        os.rename(tmp, f"{out_dir}/{table}.parquet")
+        _swap_in(tmp, f"{out_dir}/{table}.parquet")
+    if vp is None:
+        return stats
+    for name in ("metrics_drop_reasons_partials", "metrics_lang_conf_partials"):
+        path = f"{out_dir}/{name}.parquet"
+        live = (
+            spark.read.parquet(path)
+            .join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        stats[name] = live.count()
+        tmp = path + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        live.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_in(tmp, path)
+    lin_path = f"{out_dir}/lineage.parquet"
+    lin = (
+        spark.read.parquet(lin_path)
+        .join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    stats["lineage"] = lin.count()
+    tmp = lin_path + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    lin.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_in(tmp, lin_path)
     return stats

@@ -81,6 +81,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent unconverged labels would split true components into
+        # several survivors — fail loudly instead (diameter > max_iter,
+        # e.g. a long chain of serially-edited near-dup revisions)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (graph diameter too large); raise max_iter or "
+            "switch to large-star/small-star for this graph"
+        )
     sym.unpersist()
     return labels
 

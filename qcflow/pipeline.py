@@ -135,10 +135,17 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
 
     Writes repartition on bucket first so each bucket directory gets ONE
     file instead of one per upstream task (tasks x buckets tiny files is
-    the classic partitioned-write mistake at scale)."""
+    the classic partitioned-write mistake at scale).
+
+    The one-shot output uses the SAME manifest schema as the resumable
+    path (snapshot_id=0 everywhere, lineage kind='append'), so
+    qcflow.checkpoint readers — read_committed, resume, vacuum,
+    process_increment — work on a plain-run directory instead of
+    crashing on missing columns."""
     scored = res.scored
-    kept = scored.filter(F.col("keep")).select(*KEEP_COLS)
-    dropped = scored.filter(~F.col("keep")).select(*DROP_COLS)
+    snap = F.lit(0).cast("long").alias("snapshot_id")
+    kept = scored.filter(F.col("keep")).select(*KEEP_COLS, snap)
+    dropped = scored.filter(~F.col("keep")).select(*DROP_COLS, snap)
     kept.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
         f"{out_dir}/kept.parquet"
     )
@@ -155,7 +162,22 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     cube_conf_histogram(cube).write.mode(mode).parquet(
         f"{out_dir}/metrics_lang_conf.parquet"
     )
-    lin = cube_lineage(cube)
+    # partials under snapshot 0, so the checkpoint readers (read_metrics,
+    # finalize_metrics, vacuum) work on a one-shot directory too
+    cube_drop_reasons(cube, "bucket", "lang").select(
+        snap, "bucket", "lang", "drop_reason", "n"
+    ).write.mode(mode).parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet")
+    cube_conf_histogram(cube, "bucket").select(
+        snap, "bucket", "lang", "conf_bin", "n"
+    ).write.mode(mode).parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
+    lin = cube_lineage(cube).select(
+        F.lit(0).cast("long").alias("snapshot_id"),
+        F.lit("append").alias("kind"),
+        "bucket",
+        "n_input",
+        "n_kept",
+        "n_dropped",
+    )
     lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
     # totals from the (bucket-sized) lineage table — no extra full scan;
     # NULL sums (empty input) count as zero

@@ -29,6 +29,8 @@ Semantics notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -127,6 +129,24 @@ def stream_score(
     )
 
 
+def _finish_fold(path: str) -> None:
+    """Phase 2 of the compaction swap: with the staged merge complete
+    (manifest present), delete the folded source partitions and move the
+    staged data in as the compacted partition. Idempotent — every step
+    re-runs safely, so a crash anywhere in phase 2 is recovered by
+    calling compact again."""
+    import json
+    import shutil
+
+    staging = path + ".compact"
+    with open(f"{staging}/_fold_manifest.json") as f:
+        fold = json.load(f)["fold"]
+    for b in fold:
+        shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+    shutil.rmtree(f"{path}/batch_id={COMPACTED_BATCH_ID}", ignore_errors=True)
+    os.rename(staging, f"{path}/batch_id={COMPACTED_BATCH_ID}")
+
+
 def compact_stream_output(
     spark: SparkSession, out_dir: str, keep_last: bool = True
 ) -> dict:
@@ -134,18 +154,31 @@ def compact_stream_output(
     partition so file/directory count stays bounded across triggers.
 
     Run between streaming runs (the availableNow pattern: stream ->
-    compact -> stream). ``keep_last`` leaves the highest live batch_id
-    uncompacted: if the previous run crashed mid-batch before its
-    checkpoint commit, the restart re-runs that batch_id and dynamic
-    overwrite must find its rows in its OWN partition, not already moved
-    into the compacted one (which would duplicate them). Batches whose
-    checkpoint offsets are committed can never re-run, so folding them
-    is safe."""
+    compact -> stream; single writer, no concurrent readers during the
+    swap). ``keep_last`` leaves the highest live batch_id uncompacted:
+    if the previous run crashed mid-batch before its checkpoint commit,
+    the restart re-runs that batch_id and dynamic overwrite must find
+    its rows in its OWN partition, not already moved into the compacted
+    one (which would duplicate them).
+
+    Crash-safe two-phase protocol: phase 1 stages the merged rows OUTSIDE
+    the table and commits a fold manifest; phase 2 deletes the folded
+    partitions and renames the staging in as batch_id=-1. A crash before
+    the manifest leaves the table untouched (stale staging is discarded);
+    a crash after it is finished by the next invocation from the staged
+    copy — the table is never read mid-swap to rebuild state, so folded
+    rows can never be double-merged."""
+    import json
     import shutil
 
     stats = {}
     for table in ("kept", "dropped", "lineage"):
         path = f"{out_dir}/{table}.parquet"
+        staging = path + ".compact"
+        if os.path.exists(f"{staging}/_fold_manifest.json"):
+            _finish_fold(path)  # complete an interrupted phase 2 first
+        shutil.rmtree(staging, ignore_errors=True)  # pre-manifest garbage
+
         df = spark.read.parquet(path)
         ids = sorted(
             r["batch_id"]
@@ -156,17 +189,20 @@ def compact_stream_output(
         if not fold:
             stats[table] = 0
             continue
-        merged = (
-            df.filter(F.col("batch_id").isin(fold + [COMPACTED_BATCH_ID]))
-            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-            .localCheckpoint(eager=True)  # cut lineage before dir deletes
-        )
-        parts = ["batch_id", "bucket"] if table != "lineage" else ["batch_id"]
-        merged.repartition(*parts).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy(*parts).parquet(path)
-        for b in fold:
-            shutil.rmtree(f"{path}/batch_id={b}", ignore_errors=True)
+        merged = df.filter(
+            F.col("batch_id").isin(fold + [COMPACTED_BATCH_ID])
+        ).drop("batch_id")
+        # phase 1: stage outside the table, then commit the manifest
+        if table == "lineage":
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        else:
+            merged.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(staging)
+        with open(f"{staging}/_fold_manifest.json", "w") as f:
+            json.dump({"fold": fold}, f)
+        # phase 2: swap in
+        _finish_fold(path)
         stats[table] = len(fold)
     return stats
 

@@ -116,11 +116,8 @@ def conf_histogram(scored: DataFrame, *extra_dims: str, n_bins: int = 20) -> Dat
     """Langid-confidence distribution: fixed [0,1] bins. ``extra_dims``
     (e.g. bucket) key mergeable partials — fixed edges make per-partition
     histograms sum-combinable by construction."""
-    idx = F.least(
-        F.floor(F.col("lang_conf") * n_bins).cast("int"), F.lit(n_bins - 1)
-    )
     return (
-        scored.select(*extra_dims, "lang", idx.alias("conf_bin"))
+        scored.select(*extra_dims, "lang", conf_bin_col(n_bins).alias("conf_bin"))
         .groupBy(*extra_dims, "lang", "conf_bin")
         .agg(F.count("*").alias("n"))
     )

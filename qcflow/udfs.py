@@ -41,11 +41,16 @@ _MODEL_BC_CACHE: dict = {}
 def _broadcast_models(spark: SparkSession, seed: int = 1234):
     """One broadcast per (application, seed): repeated calls (streaming
     restarts, per-increment runs, bench loops) must reuse the existing
-    broadcast instead of accumulating blocks on driver and executors."""
+    broadcast instead of accumulating blocks on driver and executors.
+    Entries of OTHER applications are evicted on allocation — a process
+    that restarts sessions (tests, notebooks) would otherwise pin model
+    payloads and dead-context broadcasts forever."""
     sc = spark.sparkContext
     key = (sc.applicationId, seed)
     bc = _MODEL_BC_CACHE.get(key)
     if bc is None:
+        for stale in [k for k in _MODEL_BC_CACHE if k[0] != sc.applicationId]:
+            del _MODEL_BC_CACHE[stale]
         bc = sc.broadcast(train_models(seed))
         _MODEL_BC_CACHE[key] = bc
     return bc

@@ -94,18 +94,25 @@ def test_crashed_attempt_rows_are_invisible(spark, tmp_path, clips_ready):
     """Rows appended by an attempt that never reached its lineage commit
     must not appear in the committed view, and a resume must land the
     identical final state (ADVICE r1: crash between kept/dropped append
-    and lineage append)."""
+    and lineage append). The dead rows carry the snapshot id a REAL crash
+    leaves behind — allocated through the counter, so the resume must
+    prove it never reuses it (an id derived from committed lineage alone
+    would collide and resurrect these rows)."""
+    from qcflow.checkpoint import next_snapshot_id
+
     out = str(tmp_path / "crashy")
     run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS, max_buckets=4)
 
-    # simulate a crash: dead kept-rows under an uncommitted snapshot_id
+    # simulate a crash: the attempt allocates its snapshot id, appends
+    # kept rows, and dies before the lineage commit
+    burned = next_snapshot_id(spark, out)
     kept = spark.read.parquet(f"{out}/kept.parquet")
-    dead = kept.limit(50).withColumn("snapshot_id", F.lit(999).cast("long"))
+    dead = kept.limit(50).withColumn("snapshot_id", F.lit(burned).cast("long"))
     dead.write.mode("append").partitionBy("bucket").parquet(f"{out}/kept.parquet")
 
     assert (
         read_committed(spark, out, "kept")
-        .filter(F.col("snapshot_id") == 999)
+        .filter(F.col("snapshot_id") == burned)
         .count()
         == 0
     )
@@ -221,14 +228,30 @@ def test_zero_row_buckets_commit(spark, tmp_path, clips_ready):
 def test_vacuum_drops_dead_rows(spark, tmp_path, clips_ready):
     out = str(tmp_path / "vac")
     run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    # superseded snapshots: replace one bucket, creating dead history
+    bucket = int(spark.read.parquet(f"{out}/kept.parquet").first()["bucket"])
+    merge_replace_buckets(spark, CLIPS, out, [bucket], n_buckets=N_BUCKETS)
     kept = spark.read.parquet(f"{out}/kept.parquet")
     dead = kept.limit(30).withColumn("snapshot_id", F.lit(777).cast("long"))
     dead.write.mode("append").partitionBy("bucket").parquet(f"{out}/kept.parquet")
 
     before = _pdf(read_committed(spark, out, "kept"))
+    metrics_before = read_metrics(spark, out, "drop_reasons").toPandas()
     vacuum(spark, out)
     raw = spark.read.parquet(f"{out}/kept.parquet")
     assert raw.filter(F.col("snapshot_id") == 777).count() == 0
     after = _pdf(read_committed(spark, out, "kept"))
     pd.testing.assert_frame_equal(before, after)
+    # manifest + partials expired to the committed view: no dead slices
+    lin = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    assert len(lin) == len(lin[["snapshot_id", "bucket"]].drop_duplicates())
+    assert (
+        lin.groupby("bucket").size().max() == 1
+    ), "superseded lineage rows survived vacuum"
+    metrics_after = read_metrics(spark, out, "drop_reasons").toPandas()
+    key = ["lang", "drop_reason"]
+    pd.testing.assert_frame_equal(
+        metrics_before.sort_values(key).reset_index(drop=True),
+        metrics_after.sort_values(key).reset_index(drop=True),
+    )
     finalize_metrics(spark, out)  # still works post-compaction
