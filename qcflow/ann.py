@@ -1,0 +1,173 @@
+"""Distributed k-means + trained-IVF ANN over embedding columns.
+
+The parity layer's ``ann_ivf`` uses a FIXED random codebook so its DuckDB
+oracle stays exact; this module is the production path: Lloyd's algorithm
+run as DataFrame jobs, then the trained codebook drives the same
+inverted-list layout.
+
+Scale shape of each Lloyd iteration (corpus of n vectors, k centroids,
+d dims):
+- ASSIGN is a pure column expression — the k squared-distance terms are
+  inlined as array literals (broadcast-by-literal; k*d doubles, tiny),
+  evaluated in one codegen'd projection. No shuffle, no Python.
+- UPDATE is one groupBy: posexplode to (cluster, dim, value) and average
+  — shuffle keys are (cluster, dim), k*d groups, with map-side partial
+  aggregation doing almost all the work. The driver receives only the
+  k x d codebook per iteration (the classic MLlib recipe).
+- Empty clusters keep their previous centroid.
+
+Initialization is a deterministic hash-sample (smallest xxhash64 of the
+id column), so runs are reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(emb_col: str, centroid: np.ndarray) -> Column:
+    """|v - c|^2 up to the constant |v|^2 (same for every centroid, so it
+    cancels in the argmin): -2 * dot(v, c) + |c|^2."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    dot = F.aggregate(
+        F.zip_with(F.col(emb_col), c, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return -2.0 * dot + float((centroid**2).sum())
+
+
+def assign_clusters(
+    df: DataFrame, centroids: np.ndarray, emb_col: str = "emb", out_col: str = "cluster"
+) -> DataFrame:
+    """Nearest-centroid (L2) assignment as one column expression;
+    1-based index, first-minimum tie-break."""
+    scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
+    return df.withColumn(
+        out_col, F.array_position(scores, F.array_min(scores)).cast("int")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Lloyd's k-means; returns the (k, d) codebook. ``df[emb_col]`` must
+    be array<double>. Deterministic given the data and id column."""
+    init = (
+        df.select(id_col, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centroids = np.array([r[emb_col] for r in init], dtype=np.float64)
+    data = df.select(id_col, emb_col)
+    for _ in range(n_iter):
+        assigned = assign_clusters(data, centroids, emb_col=emb_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(emb_col).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their centroid
+        for r in rows:
+            new[r["cluster"] - 1, r["dim"]] = r["mean"]
+        shift = float(np.abs(new - centroids).max())
+        centroids = new
+        if shift < tol:
+            break
+    return centroids
+
+
+def inertia(df: DataFrame, centroids: np.ndarray, emb_col: str = "emb") -> float:
+    """Sum of squared distances to the assigned centroid (the k-means
+    objective) — one aggregate, used to monitor convergence."""
+    scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
+    sq_norm = F.aggregate(
+        F.transform(F.col(emb_col), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return float(
+        df.select((F.array_min(scores) + sq_norm).alias("d2"))
+        .agg(F.sum("d2"))
+        .collect()[0][0]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Trained-IVF ANN: corpus rows live in their nearest-centroid list;
+    each query probes its ``nprobe`` nearest lists and reranks exactly by
+    cosine. Returns (query_id, neighbor_id, cosine, rank). At scale the
+    cluster column is the partition layout and the probe join shuffles
+    (cluster, id) pairs only."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(emb_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    lists = assign_clusters(corpus, centroids, emb_col=emb_col).withColumn("nrm", nrm)
+    scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
+    probes = (
+        queries.withColumn("_s", scores)
+        .withColumn("nrm", nrm)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.sequence(F.lit(1), F.lit(len(centroids))),
+                                lambda i: F.struct(
+                                    F.element_at(F.col("_s"), i.cast("int")).alias("d"),
+                                    i.cast("int").alias("idx"),
+                                ),
+                            )
+                        ),
+                        lambda s: s["idx"],
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_emb"), F.col(emb_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = lists.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("probe"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -260,6 +260,27 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- IVF ANN
 
+@query("ann_ivf_trained", oracle=None)  # iterative Lloyd's — not SQL-expressible
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production IVF ANN: the codebook is TRAINED with distributed
+    Lloyd's k-means (qcflow/ann.py — assignment is one codegen'd
+    projection, the update one (cluster, dim)-keyed groupBy whose
+    map-side partials reduce to a k x d codebook per iteration), then
+    queries probe their 2 nearest trained lists and rerank exactly.
+    Driver gate is rows-only (iterative fixpoint has no SQL twin);
+    recall vs the exact baseline is pinned in tests/test_ann_kmeans.py
+    and tests/test_ann_recall.py."""
+    from qcflow.ann import ivf_topk, kmeans_fit
+
+    emb = _emb_double(t(spark, sf_dir, "embeddings"))
+    codebook = kmeans_fit(emb, k=8, id_col="vec_id", n_iter=4)
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(emb, qs, codebook, k=TOP_K, nprobe=2, id_col="vec_id")
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def _sql_centroid_literal(h: int) -> str:
     return "[" + ", ".join(repr(v) for v in _centroids[h]) + "]"
 
