@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qcflow.features import clip_features, pcm_consistency
-from qcflow.rules import Thresholds, apply_rules, derive_thresholds
+from qcflow.rules import (
+    Thresholds,
+    acoustic_rule_conditions,
+    apply_rules,
+    derive_thresholds,
+)
 from qcflow.scrub import scrub
 from qcflow.summary import (
     cube_conf_histogram,
@@ -73,12 +78,20 @@ def score_clips(
     clips: DataFrame,
     exact_thresholds: bool = True,
     check_pcm: bool = False,
+    check_acoustics: bool = False,
     n_buckets: int = N_BUCKETS,
     thresholds: Thresholds | None = None,
 ) -> QcResult:
     """Run features + models + rules + scrub; returns the scored frame
-    (persisted) and the derived thresholds."""
+    (persisted) and the derived thresholds. ``check_acoustics`` adds the
+    decoded-PCM feature stage (clip/silence/DC rules) — one extra Arrow
+    crossing that reads the bytes column."""
     df = clips.withColumn("bucket", bucket_col(n_buckets))
+    if check_acoustics:
+        # decode crossing while bytes are still in the plan
+        from qcflow.udfs import with_audio_features
+
+        df = with_audio_features(df)
     if check_pcm:
         # the consistency columns derive from byte LENGTHS only; drop the
         # payload right after so the persist/shuffles stay narrow
@@ -109,6 +122,8 @@ def score_clips(
     extra = []
     if check_pcm:
         extra.append(("pcm_inconsistent", F.col("pcm_inconsistent")))
+    if check_acoustics:
+        extra.extend(acoustic_rule_conditions())
     flagged = apply_rules(df, thr, extra_rules=extra)
     flagged = scrub(flagged)
     return QcResult(

@@ -95,6 +95,25 @@ def rule_conditions(thr: Thresholds) -> list[tuple[str, Column]]:
     ]
 
 
+# Acoustic rule thresholds (features from qcflow.udfs.with_audio_features).
+# Margins are wide on both sides: healthy speech-band synth sits at
+# clip_ratio ~ 0, silence_ratio ~ 0, |dc| < 0.01, while the defect regimes
+# (hard clipping, dead air, converter bias) land at 0.05+/0.5+/0.1+.
+CLIP_RATIO_MAX = 0.02
+SILENCE_RATIO_MAX = 0.5
+DC_OFFSET_MAX = 0.1
+
+
+def acoustic_rule_conditions() -> list[tuple[str, Column]]:
+    """Drop rules over the decoded-PCM features; NULL features (no bytes /
+    unknown codec) never flag, same as every other rule."""
+    return [
+        ("clipped_audio", F.col("clip_ratio") > CLIP_RATIO_MAX),
+        ("silent_audio", F.col("silence_ratio") > SILENCE_RATIO_MAX),
+        ("dc_offset", F.abs(F.col("dc_offset")) > DC_OFFSET_MAX),
+    ]
+
+
 def apply_rules(
     feats: DataFrame, thr: Thresholds, extra_rules: list[tuple[str, Column]] | None = None
 ) -> DataFrame:

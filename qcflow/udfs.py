@@ -166,6 +166,106 @@ def with_pcm_stats(df: DataFrame) -> DataFrame:
     return out.select("*", "_p.n_samples", "_p.rms").drop("_p")
 
 
+# Acoustic-feature constants (shared with qcflow.rules' acoustic rules).
+CLIP_SAMPLE_ABS = 0.95  # |x| at/above this counts as a clipped sample
+SILENCE_FRAME_RMS = 0.01  # frame RMS below this counts as a silent frame
+SILENCE_FRAME_MS = 20.0  # frame length for the silence grid
+
+
+def with_audio_features(df: DataFrame) -> DataFrame:
+    """Acoustic QC features from the decoded PCM, one Arrow crossing:
+
+    - ``ac_n_samples`` / ``ac_rms`` / ``ac_peak``: decode-true length,
+      root-mean-square level, absolute peak
+    - ``clip_ratio``: fraction of samples at/above |0.95| (hard-clipping
+      density — loudness-war or gain-staging damage)
+    - ``silence_ratio``: fraction of 20 ms frames whose RMS is below 0.01
+      (dead air / mic failure)
+    - ``zcr``: mean zero-crossing rate (sign flips per sample; near-DC or
+      subsonic rumble shows up as zcr ~ 0)
+    - ``dc_offset``: sample mean (converter bias)
+
+    Rows with NULL bytes or an unknown codec yield all-NULL features, so
+    downstream rules never flag them (NaN-never-flags, SURVEY §1.2).
+    Everything is numpy over the decoded block — the per-row loop only
+    sequences clips; each clip's math is vectorized."""
+
+    @F.pandas_udf(
+        "ac_n_samples long, ac_rms double, ac_peak double, clip_ratio double,"
+        " silence_ratio double, zcr double, dc_offset double"
+    )
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            ns = np.full(n, -1, dtype=np.int64)
+            cols = {
+                k: np.full(n, np.nan)
+                for k in (
+                    "ac_rms",
+                    "ac_peak",
+                    "clip_ratio",
+                    "silence_ratio",
+                    "zcr",
+                    "dc_offset",
+                )
+            }
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                x = audio.decode(bytes(b), codec).astype(np.float64)
+                ns[i] = len(x)
+                if not len(x):
+                    continue
+                ax = np.abs(x)
+                cols["ac_rms"][i] = float(np.sqrt(np.mean(x * x)))
+                cols["ac_peak"][i] = float(ax.max())
+                cols["clip_ratio"][i] = float(np.mean(ax >= CLIP_SAMPLE_ABS))
+                cols["dc_offset"][i] = float(np.mean(x))
+                cols["zcr"][i] = (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1
+                    else 0.0
+                )
+                sr_eff = (
+                    int(sr) if sr is not None and int(sr) in audio.VALID_SR else 8000
+                )
+                fl = max(1, int(round(sr_eff * SILENCE_FRAME_MS / 1000.0)))
+                n_fr = len(x) // fl
+                if n_fr:
+                    fr = x[: n_fr * fl].reshape(n_fr, fl)
+                    fr_rms = np.sqrt(np.mean(fr * fr, axis=1))
+                    cols["silence_ratio"][i] = float(
+                        np.mean(fr_rms < SILENCE_FRAME_RMS)
+                    )
+                else:
+                    cols["silence_ratio"][i] = float(
+                        cols["ac_rms"][i] < SILENCE_FRAME_RMS
+                    )
+            out = pd.DataFrame(cols)
+            out.insert(0, "ac_n_samples", ns)
+            yield out
+
+    out = df.withColumn("_a", _udf(F.struct("bytes", "codec", "sr_hz")))
+    feats = [
+        "ac_n_samples",
+        "ac_rms",
+        "ac_peak",
+        "clip_ratio",
+        "silence_ratio",
+        "zcr",
+        "dc_offset",
+    ]
+    out = out.select("*", *[f"_a.{c}" for c in feats]).drop("_a")
+    # -1 marks "undecodable" inside the Arrow frame (long has no NaN);
+    # surface it as NULL like every other unavailable feature
+    return out.withColumn(
+        "ac_n_samples",
+        F.when(F.col("ac_n_samples") >= 0, F.col("ac_n_samples")),
+    )
+
+
 def with_snr(df: DataFrame) -> DataFrame:
     """Per-row PCM invariant: SNR of decoded bytes vs the re-synthesized
     original waveform (clip index recovered from clip_id). Validation mode

@@ -1,0 +1,130 @@
+"""Acoustic feature extraction: independent numpy parity, planted-defect
+recall/precision on the audio_q fixture, null safety, and the
+check_acoustics pipeline stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qcflow import audio
+from qcflow.parity.audio_q import _FIX, _materialize, audio_quality_flags
+from qcflow.udfs import with_audio_features
+
+
+def _ref_features(x: np.ndarray, sr: int) -> dict:
+    """Independent reference (different code shape: loops + np.diff)."""
+    x = x.astype(np.float64)
+    out = {
+        "ac_rms": float(np.sqrt((x**2).sum() / len(x))),
+        "ac_peak": float(max(abs(x.min()), abs(x.max()))),
+        "clip_ratio": float((np.abs(x) >= 0.95).sum() / len(x)),
+        "dc_offset": float(x.sum() / len(x)),
+        "zcr": float(
+            (np.diff((x >= 0).astype(int)) != 0).sum() / (len(x) - 1)
+        ),
+    }
+    fl = int(round(sr * 0.02))
+    rmss = [
+        float(np.sqrt(np.mean(x[s : s + fl] ** 2)))
+        for s in range(0, len(x) - fl + 1, fl)
+    ]
+    out["silence_ratio"] = float(np.mean([r < 0.01 for r in rmss]))
+    return out
+
+
+def test_features_match_independent_reference(spark):
+    rng = np.random.default_rng(77)
+    rows, refs = [], []
+    for i, sr in enumerate([8000, 16000, 8000, 16000]):
+        n = int(sr * 0.5)
+        t = np.arange(n) / sr
+        x = [
+            0.4 * np.sin(2 * np.pi * 440 * t),
+            np.clip(3.0 * np.sin(2 * np.pi * 200 * t), -0.999, 0.999),
+            np.full(n, 0.001),
+            0.3 * np.sin(2 * np.pi * 100 * t) + 0.2,
+        ][i]
+        x = np.clip(x + rng.normal(0, 0.005, n), -0.999, 0.999).astype(np.float32)
+        # pcm16 roundtrips near-exactly -> reference computed on the
+        # DECODED wave so quantization isn't a tolerance term
+        dec = audio.pcm16_decode(audio.pcm16_encode(x))
+        rows.append((f"c{i}", audio.pcm16_encode(x), sr, "pcm16"))
+        refs.append(_ref_features(dec, sr))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    got = with_audio_features(df).toPandas().set_index("clip_id").sort_index()
+    for i, ref in enumerate(refs):
+        row = got.loc[f"c{i}"]
+        assert row["ac_n_samples"] == int(8000 * 0.5) or row["ac_n_samples"] == int(
+            16000 * 0.5
+        )
+        for k, v in ref.items():
+            assert row[k] == pytest.approx(v, abs=1e-9), (i, k)
+
+
+def test_null_bytes_and_unknown_codec_yield_null_features(spark):
+    df = spark.createDataFrame(
+        [("a", None, 8000, "pcm16"), ("b", b"\x00\x01", 8000, "opus")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    got = with_audio_features(df).toPandas()
+    feat_cols = [
+        "ac_n_samples",
+        "ac_rms",
+        "ac_peak",
+        "clip_ratio",
+        "silence_ratio",
+        "zcr",
+        "dc_offset",
+    ]
+    assert got[feat_cols].isna().all().all()
+
+
+def test_planted_defects_recovered_exactly(spark):
+    """Every planted label recovered from bytes alone; zero false flags."""
+    _materialize()
+    got = audio_quality_flags(spark, "").toPandas().set_index("clip_id")
+    truth = pd.read_parquet(_FIX, columns=["clip_id", "planted"]).set_index(
+        "clip_id"
+    )
+    j = got.join(truth)
+    assert len(j) == 400 and not j["planted"].isna().any()
+    assert (j["is_clipped"] == (j["planted"] == "clipped_audio")).all()
+    assert (j["is_silent"] == (j["planted"] == "silent_audio")).all()
+    assert (j["has_dc_offset"] == (j["planted"] == "dc_offset")).all()
+    # the fixture genuinely exercises each defect and the clean regime
+    assert (j["planted"] == "clipped_audio").sum() >= 50
+    assert (j["planted"] == "silent_audio").sum() >= 50
+    assert (j["planted"] == "dc_offset").sum() >= 50
+    assert (j["planted"] == "").sum() >= 100
+
+
+def test_pipeline_check_acoustics_drops_planted(spark):
+    """score_clips(check_acoustics=True) on the fixture: acoustic defects
+    land in drop_reasons; clean rows carry no acoustic reason."""
+    from qcflow.pipeline import score_clips
+    from qcflow.rules import Thresholds
+
+    _materialize()
+    clips = (
+        spark.read.parquet(_FIX)
+        .withColumn("dur_ms", F.lit(1000))
+        .withColumn("transcript", F.lit("plain normal words spoken here"))
+    )
+    # fixed thresholds: this test isolates the acoustic rules
+    thr = Thresholds(repetition_lo=0.0, cps_lo=0.0, cps_hi=1e9, ppl_hi=1e9)
+    res = score_clips(spark, clips, thresholds=thr, check_acoustics=True)
+    got = res.scored.select("clip_id", "drop_reasons").toPandas().set_index("clip_id")
+    res.release()
+    truth = pd.read_parquet(_FIX, columns=["clip_id", "planted"]).set_index(
+        "clip_id"
+    )
+    j = got.join(truth)
+    for reason in ("clipped_audio", "silent_audio", "dc_offset"):
+        planted = j["planted"] == reason
+        fired = j["drop_reasons"].str.contains(reason)
+        assert (planted == fired).all(), reason
