@@ -104,6 +104,83 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bdemo")
 
 
+def test_bucket_partition_pruning_on_outputs(spark, tmp_path):
+    """Reading one bucket of the kept/dropped layout must prune at the
+    directory level (PartitionFilters on the scan) — the resume path
+    re-reads single buckets, and at 10^12 rows a full-scan-then-filter
+    would read the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from qcflow.pipeline import score_clips, write_outputs
+
+    clips = spark.read.parquet("/root/repo/.cache/clips_t2k/clips.parquet")
+    res = score_clips(spark, clips, thresholds=_dummy_thr(), n_buckets=8)
+    write_outputs(res, str(tmp_path))
+    res.release()
+    kept = spark.read.parquet(f"{tmp_path}/kept.parquet").filter(F.col("bucket") == 3)
+    p = plan_of(kept)
+    seg = p.split("PartitionFilters")[1][:120]
+    assert "bucket" in seg and "= 3" in seg, seg
+    assert kept.count() > 0
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Day-partitioned fact joined to a filtered dim: the scan must carry
+    a dynamicpruning subquery so only the surviving days' directories are
+    read — the canonical 100 TB star-join access path."""
+    from pyspark.sql import functions as F
+
+    spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day")
+    ).write.partitionBy("day").mode("overwrite").parquet(f"{tmp_path}/fact")
+    spark.range(20).select(
+        F.col("id").alias("day"), (F.col("id") % 4).alias("grp")
+    ).write.mode("overwrite").parquet(f"{tmp_path}/dim")
+    fact = spark.read.parquet(f"{tmp_path}/fact")
+    dim = spark.read.parquet(f"{tmp_path}/dim").filter("grp = 1")
+    j = fact.join(dim, "day").groupBy("grp").count()
+    assert "dynamicpruning" in plan_of(j).lower()
+    assert j.collect()[0]["count"] == 5 * 2500
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """When the big-big join's small side carries a selective filter,
+    Spark must inject a runtime bloom filter (might_contain on the fact
+    scan) so non-matching rows die before the shuffle — at 100 TB this is
+    the difference between shuffling the corpus and shuffling the match."""
+    from pyspark.sql import functions as F
+
+    spark.range(300_000).select(
+        F.col("id"), (F.col("id") % 100_000).alias("k")
+    ).write.mode("overwrite").parquet(f"{tmp_path}/fact")
+    spark.range(2_000).select(
+        (F.col("id") * 13).alias("k"), (F.col("id") % 3).alias("grp")
+    ).write.mode("overwrite").parquet(f"{tmp_path}/dim")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        # local fixtures sit below the 10GB default application-side
+        # threshold; at cluster scale the real conf qualifies on its own
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10KB",
+        )
+        big = spark.read.parquet(f"{tmp_path}/fact")
+        small = spark.read.parquet(f"{tmp_path}/dim").filter("grp = 1")
+        j = big.join(small.hint("shuffle_hash"), "k")
+        assert "might_contain" in plan_of(j).lower()
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thr,
+        )
+
+
 def _dummy_thr():
     from qcflow.rules import Thresholds
 
