@@ -52,6 +52,16 @@ def main() -> int:
     if not os.path.exists(f"{CLIPS_CACHE}/clips.parquet/_SUCCESS"):
         generate_clips(spark, BENCH_CLIP_ROWS, CLIPS_CACHE, partitions=cpus * 2)
 
+    # Page-cache pre-warm (same methodology as scripts/scaling.py, recorded
+    # in BENCH/BASELINE.md): the 6.8 GB clip table cold-reads at ~115 MB/s
+    # on this sandbox's virtio disk, which would time the disk, not the
+    # engine. One sequential pass makes runs reproducible.
+    for root, _, files in os.walk(CLIPS_CACHE):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
     queries: dict[str, float] = {}
 
     # --- flagship QC pipeline -------------------------------------------
