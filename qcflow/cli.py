@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--cpus", type=int, default=None)
     r.add_argument("--resume", action="store_true")
     r.add_argument("--check-pcm", action="store_true")
+    r.add_argument("--check-acoustics", action="store_true")
     r.add_argument("--approx-thresholds", action="store_true")
     r.add_argument("--n-buckets", type=int, default=64)
 
@@ -70,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
                 clips,
                 exact_thresholds=not args.approx_thresholds,
                 check_pcm=args.check_pcm,
+                check_acoustics=args.check_acoustics,
                 n_buckets=args.n_buckets,
             )
             out = write_outputs(res, args.out)
