@@ -324,3 +324,35 @@ def x_ts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap.alias("gap_us"),
         )
     )
+
+
+@query(
+    "x_approx_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting both ways: the oracle-gated EXACT count (this
+    query) and the HLL++ sketch twin used at scale. At 10^12 rows
+    count_distinct shuffles every (group, user) pair to dedupe; the
+    approx_count_distinct sketch is fixed-size per group and map-side
+    mergeable — tests/test_parity.py pins its relative error against
+    the exact answer (rsd 1% -> measured exact-match on this
+    cardinality), so the swap is a flag, same policy as the
+    exact-vs-sketch percentile thresholds (qcflow/rules.py)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str, rsd: float = 0.01):
+    """The scale path: HLL++ with bounded relative standard deviation."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("n_users"))
+    )

@@ -39,3 +39,21 @@ def test_oracle_check_is_not_vacuous(spark, sf_dir, name):
     assert QUERIES[name](spark, sf_dir).count() > 0, (
         f"{name} returned 0 rows — its oracle comparison is vacuous"
     )
+
+
+def test_hll_sketch_tracks_exact_distinct(spark, sf_dir):
+    """The HLL++ twin of x_approx_distinct: fixed-size mergeable sketch
+    within 2% of the exact per-group distinct count (rsd=0.01)."""
+    from qcflow.parity.advanced_ops import approx_distinct_sketch, x_approx_distinct
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in x_approx_distinct(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users"]
+        for r in approx_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.02 * n), (k, approx[k], n)
