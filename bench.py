@@ -94,6 +94,17 @@ def main() -> int:
     queries["qc_pipeline_pcm"] = round(pcm_sec, 3)
     res2.release()
 
+    # acoustic QC stage (decode + clip/silence/ZCR/DC features + rules) on
+    # the same 10k slice — the second decode-crossing variant
+    t0 = time.time()
+    res3 = score_clips(spark, slice_, exact_thresholds=False, check_acoustics=True)
+    res3.scored.filter("NOT keep").groupBy("lang").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    ac_sec = time.time() - t0
+    queries["qc_pipeline_acoustic"] = round(ac_sec, 3)
+    res3.release()
+
     # --- skew demonstration on the metrics shapes ------------------------
     # 4M rows, 70% on one key (the clip table's Zipf language shape).
     # Measured findings recorded in BENCH/BASELINE.md:
@@ -155,6 +166,7 @@ def main() -> int:
                 "clip_rows": BENCH_CLIP_ROWS,
                 "n_kept": counts["n_kept"],
                 "pcm_clips_per_sec": round(pcm_rows / pcm_sec, 1),
+                "acoustic_clips_per_sec": round(pcm_rows / ac_sec, 1),
                 "cpus": cpus,
             }
         )

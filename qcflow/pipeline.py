@@ -110,7 +110,7 @@ def score_clips(
     # table anyway.
     cached = None
     stage_dir = None
-    if check_pcm:
+    if check_pcm or check_acoustics:
         import tempfile
 
         stage_dir = tempfile.mkdtemp(prefix="qcflow_stage_")

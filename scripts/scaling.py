@@ -260,9 +260,13 @@ serial stage (one scan, one Python crossing, one aggregate).
 
 ## Narrow-pipeline throughput (local[32], 60k clips)
 
-qc_pipeline (no bytes, single-pass metrics cube): 3831 clips/s; decode
-path on a pruned 10k slice: 2603 clips/s (bench.py keys clips_per_sec /
-pcm_clips_per_sec, cooled box).
+qc_pipeline (no bytes, single-pass metrics cube): 4471 clips/s;
+bytes-reading consistency path on a pruned 10k slice: 3283 clips/s;
+acoustic stage (true decode + blocked clip/silence/ZCR/DC features +
+rules) on the same slice: 1855 clips/s — parquet staging instead of
+persist took it 439 -> 1009, L2-blocked single-pass stats 1009 -> 1855
+(bench.py keys clips_per_sec / pcm_clips_per_sec /
+acoustic_clips_per_sec, cooled box).
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 
