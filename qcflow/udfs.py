@@ -172,6 +172,56 @@ SILENCE_FRAME_RMS = 0.01  # frame RMS below this counts as a silent frame
 SILENCE_FRAME_MS = 20.0  # frame length for the silence grid
 
 
+def acoustic_stats(x32: np.ndarray, sr_eff: int, block: int = 16384) -> dict:
+    """Per-clip acoustic stats in ONE L2-resident blocked pass (blocks
+    rounded to the 20 ms frame grid; sign flips carried across block
+    edges). Equivalent to the naive full-array form — property-pinned in
+    tests/test_property.py — without its ~6 array temporaries per clip,
+    which ran DRAM-bound at high parallelism (same lesson as
+    audio.snr_vs_synth; measured 1009 -> 1855 clips/s at local[32] on the
+    10k bench slice, single-thread a wash). Caller guarantees len > 0."""
+    n = len(x32)
+    fl = max(1, int(round(sr_eff * SILENCE_FRAME_MS / 1000.0)))
+    blk = max(fl, (block // fl) * fl)  # block on the frame grid
+    tot = 0.0
+    tot_sq = 0.0
+    peak = 0.0
+    n_clip = 0
+    flips = 0
+    n_silent = 0
+    n_frames = 0
+    prev_sign: bool | None = None
+    for s0 in range(0, n, blk):
+        seg = x32[s0 : s0 + blk].astype(np.float64)
+        a = np.abs(seg)
+        tot += float(seg.sum())
+        tot_sq += float((seg * seg).sum())
+        peak = max(peak, float(a.max()))
+        n_clip += int((a >= CLIP_SAMPLE_ABS).sum())
+        sb = np.signbit(seg)
+        flips += int((sb[1:] != sb[:-1]).sum())
+        if prev_sign is not None and bool(sb[0]) != prev_sign:
+            flips += 1
+        prev_sign = bool(sb[-1])
+        n_fr = len(seg) // fl
+        if n_fr:
+            fr = seg[: n_fr * fl].reshape(n_fr, fl)
+            fr_rms = np.sqrt(np.mean(fr * fr, axis=1))
+            n_silent += int((fr_rms < SILENCE_FRAME_RMS).sum())
+            n_frames += n_fr
+    rms = float(np.sqrt(tot_sq / n))
+    return {
+        "ac_rms": rms,
+        "ac_peak": peak,
+        "clip_ratio": n_clip / n,
+        "dc_offset": tot / n,
+        "zcr": flips / (n - 1) if n > 1 else 0.0,
+        "silence_ratio": (
+            n_silent / n_frames if n_frames else float(rms < SILENCE_FRAME_RMS)
+        ),
+    }
+
+
 def with_audio_features(df: DataFrame) -> DataFrame:
     """Acoustic QC features from the decoded PCM, one Arrow crossing:
 
@@ -187,84 +237,41 @@ def with_audio_features(df: DataFrame) -> DataFrame:
 
     Rows with NULL bytes or an unknown codec yield all-NULL features, so
     downstream rules never flag them (NaN-never-flags, SURVEY §1.2).
-    All stats accumulate in ONE L2-resident blocked pass over the decoded
-    samples (blocks rounded to the 20 ms frame grid; sign flips carried
-    across block edges) — the naive full-array form allocated ~6 array
-    temporaries per clip and ran DRAM-bound at high parallelism, same
-    lesson as audio.snr_vs_synth (measured 1009 -> 1855 clips/s at
-    local[32] on the 10k bench slice; single-thread it is a wash)."""
+    Per-clip math is ``acoustic_stats`` (blocked single pass, see its
+    docstring); the per-row loop here only sequences clips."""
 
     @F.pandas_udf(
         "ac_n_samples long, ac_rms double, ac_peak double, clip_ratio double,"
         " silence_ratio double, zcr double, dc_offset double"
     )
     def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = (
+            "ac_rms",
+            "ac_peak",
+            "clip_ratio",
+            "silence_ratio",
+            "zcr",
+            "dc_offset",
+        )
         for pdf in it:
-            n = len(pdf)
-            ns = np.full(n, -1, dtype=np.int64)
-            cols = {
-                k: np.full(n, np.nan)
-                for k in (
-                    "ac_rms",
-                    "ac_peak",
-                    "clip_ratio",
-                    "silence_ratio",
-                    "zcr",
-                    "dc_offset",
-                )
-            }
+            n_rows = len(pdf)
+            ns = np.full(n_rows, -1, dtype=np.int64)
+            cols = {k: np.full(n_rows, np.nan) for k in keys}
             for i, (b, codec, sr) in enumerate(
                 zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
             ):
                 if b is None or codec not in audio.KNOWN_CODECS:
                     continue
                 x32 = audio.decode(bytes(b), codec)
-                n = len(x32)
-                ns[i] = n
-                if not n:
+                ns[i] = len(x32)
+                if not len(x32):
                     continue
                 sr_eff = (
                     int(sr) if sr is not None and int(sr) in audio.VALID_SR else 8000
                 )
-                fl = max(1, int(round(sr_eff * SILENCE_FRAME_MS / 1000.0)))
-                blk = max(fl, (16384 // fl) * fl)  # block on the frame grid
-                tot = 0.0
-                tot_sq = 0.0
-                peak = 0.0
-                n_clip = 0
-                flips = 0
-                n_silent = 0
-                n_frames = 0
-                prev_sign: bool | None = None
-                for s0 in range(0, n, blk):
-                    seg = x32[s0 : s0 + blk].astype(np.float64)
-                    a = np.abs(seg)
-                    tot += float(seg.sum())
-                    tot_sq += float((seg * seg).sum())
-                    peak = max(peak, float(a.max()))
-                    n_clip += int((a >= CLIP_SAMPLE_ABS).sum())
-                    sb = np.signbit(seg)
-                    flips += int((sb[1:] != sb[:-1]).sum())
-                    if prev_sign is not None and bool(sb[0]) != prev_sign:
-                        flips += 1
-                    prev_sign = bool(sb[-1])
-                    n_fr = len(seg) // fl
-                    if n_fr:
-                        fr = seg[: n_fr * fl].reshape(n_fr, fl)
-                        fr_rms = np.sqrt(np.mean(fr * fr, axis=1))
-                        n_silent += int((fr_rms < SILENCE_FRAME_RMS).sum())
-                        n_frames += n_fr
-                rms = float(np.sqrt(tot_sq / n))
-                cols["ac_rms"][i] = rms
-                cols["ac_peak"][i] = peak
-                cols["clip_ratio"][i] = n_clip / n
-                cols["dc_offset"][i] = tot / n
-                cols["zcr"][i] = flips / (n - 1) if n > 1 else 0.0
-                cols["silence_ratio"][i] = (
-                    n_silent / n_frames
-                    if n_frames
-                    else float(rms < SILENCE_FRAME_RMS)
-                )
+                stats = acoustic_stats(x32, sr_eff)
+                for k in keys:
+                    cols[k][i] = stats[k]
             out = pd.DataFrame(cols)
             out.insert(0, "ac_n_samples", ns)
             yield out

@@ -121,3 +121,42 @@ def test_flag_monotone_in_thresholds(spark):
     for thr in tighter:
         assert base <= flagged_ids(thr), thr
     df.unpersist()
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    st.integers(1, 40000),
+    st.sampled_from([1.0, 3.0, 0.003]),  # clean / clipped / near-silent gain
+    st.floats(-0.4, 0.4),
+)
+@settings(max_examples=60, deadline=None)
+def test_blocked_acoustic_stats_match_naive(seed, sr, n, gain, dc):
+    """The L2-blocked single-pass acoustic stats must equal the naive
+    full-array form on arbitrary waveforms (counting stats exactly;
+    summation stats to float tolerance)."""
+    from qcflow.udfs import CLIP_SAMPLE_ABS, SILENCE_FRAME_RMS, acoustic_stats
+
+    x = np.clip(
+        gain * audio.synth_wave(seed % 100000, n, sr) + dc, -0.999, 0.999
+    ).astype(np.float32)
+
+    got = acoustic_stats(x, sr)
+    # naive reference: whole-array numpy, same definitions
+    xd = x.astype(np.float64)
+    fl = max(1, int(round(sr * 0.02)))
+    n_fr = len(xd) // fl
+    if n_fr:
+        fr = xd[: n_fr * fl].reshape(n_fr, fl)
+        sil = float(np.mean(np.sqrt(np.mean(fr * fr, axis=1)) < SILENCE_FRAME_RMS))
+    else:
+        sil = float(np.sqrt(np.mean(xd * xd)) < SILENCE_FRAME_RMS)
+    assert got["clip_ratio"] == float(np.mean(np.abs(xd) >= CLIP_SAMPLE_ABS))
+    assert got["ac_peak"] == float(np.abs(xd).max())
+    if len(xd) > 1:
+        assert got["zcr"] == float(
+            np.mean(np.signbit(xd[1:]) != np.signbit(xd[:-1]))
+        )
+    assert got["silence_ratio"] == sil
+    np.testing.assert_allclose(got["ac_rms"], np.sqrt(np.mean(xd * xd)), atol=1e-12)
+    np.testing.assert_allclose(got["dc_offset"], np.mean(xd), atol=1e-12)
