@@ -27,16 +27,26 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left fold — the one dot-product definition every path
+    in this module (and the oracle dialect in parity/similarity.py)
+    shares, so float results agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _sq_norm(c: Column) -> Column:
+    return F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def _sq_dist(emb_col: str, centroid: np.ndarray) -> Column:
     """|v - c|^2 up to the constant |v|^2 (same for every centroid, so it
     cancels in the argmin): -2 * dot(v, c) + |c|^2."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
-    dot = F.aggregate(
-        F.zip_with(F.col(emb_col), c, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return -2.0 * dot + float((centroid**2).sum())
+    return -2.0 * _dot(F.col(emb_col), c) + float((centroid**2).sum())
 
 
 def assign_clusters(
@@ -91,13 +101,8 @@ def inertia(df: DataFrame, centroids: np.ndarray, emb_col: str = "emb") -> float
     """Sum of squared distances to the assigned centroid (the k-means
     objective) — one aggregate, used to monitor convergence."""
     scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
-    sq_norm = F.aggregate(
-        F.transform(F.col(emb_col), lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return float(
-        df.select((F.array_min(scores) + sq_norm).alias("d2"))
+        df.select((F.array_min(scores) + _sq_norm(F.col(emb_col))).alias("d2"))
         .agg(F.sum("d2"))
         .collect()[0][0]
     )
@@ -117,13 +122,7 @@ def ivf_topk(
     cosine. Returns (query_id, neighbor_id, cosine, rank). At scale the
     cluster column is the partition layout and the probe join shuffles
     (cluster, id) pairs only."""
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(emb_col), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    nrm = F.sqrt(_sq_norm(F.col(emb_col)))
     lists = assign_clusters(corpus, centroids, emb_col=emb_col).withColumn("nrm", nrm)
     scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
     probes = (
@@ -153,11 +152,7 @@ def ivf_topk(
             ).alias("probe"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_emb"), F.col(emb_col), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("q_emb"), F.col(emb_col))
     scored = lists.join(
         F.broadcast(probes),
         (F.col("cluster") == F.col("probe"))

@@ -65,11 +65,11 @@ _materialize()
 
 _ORACLE = f"""
 SELECT img_id,
-       t_width AS width,
-       t_height AS height,
+       CAST(t_width AS INT) AS width,
+       CAST(t_height AS INT) AS height,
        ROUND(t_mean_r, 4) AS mean_r,
-       t_width // {RESIZE_FACTOR} AS thumb_w,
-       t_height // {RESIZE_FACTOR} AS thumb_h,
+       CAST(t_width // {RESIZE_FACTOR} AS INT) AS thumb_w,
+       CAST(t_height // {RESIZE_FACTOR} AS INT) AS thumb_h,
        CAST(12 + (t_width // {RESIZE_FACTOR}) * (t_height // {RESIZE_FACTOR}) * 3
             AS INT) AS thumb_bytes
 FROM '{_FIX}'

@@ -13,6 +13,7 @@ guarantee across partitions.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +24,15 @@ from qcflow.parity.registry import query, t
 
 def _dec(c: str):
     return F.sum(F.col(c).cast("decimal(18,2)"))
+
+
+def _finish(spark: SparkSession, out: DataFrame, tmp_dir: str) -> DataFrame:
+    """Materialize the (dimension-sized) aggregate eagerly so the
+    roundtrip directory can be deleted before returning — repeated sweep/
+    test/bench invocations must not leak table copies into /tmp."""
+    rows = out.collect()
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -37,14 +47,16 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema'd source: doubles survive because Spark writes
     shortest-roundtrip representations; the read passes the schema
     explicitly (no inferSchema scan)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="qcflow_srccsv_"), "cust")
+    tmp = tempfile.mkdtemp(prefix="qcflow_srccsv_")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
+    out = os.path.join(tmp, "cust")
     cust.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(cust.schema).option("header", True).csv(out)
-    return back.groupBy("c_mktsegment").agg(
+    agg = back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         _dec("c_acctbal").cast("double").alias("total_bal"),
     )
+    return _finish(spark, agg, tmp)
 
 
 @query(
@@ -59,14 +71,16 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + schema'd source over free text (quotes, unicode,
     embedded newlines all ride JSON escaping); re-derives lengths from
     the roundtripped text so corruption would show in the hash."""
-    out = os.path.join(tempfile.mkdtemp(prefix="qcflow_srcjson_"), "docs")
+    tmp = tempfile.mkdtemp(prefix="qcflow_srcjson_")
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = os.path.join(tmp, "docs")
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)
-    return back.groupBy("lang").agg(
+    agg = back.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+    return _finish(spark, agg, tmp)
 
 
 @query(
@@ -80,14 +94,16 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source (columnar twin to the parquet path; same
     pushdown/pruning machinery on read)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="qcflow_srcorc_"), "orders")
+    tmp = tempfile.mkdtemp(prefix="qcflow_srcorc_")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    out = os.path.join(tmp, "orders")
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
-    return back.groupBy("o_orderpriority").agg(
+    agg = back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         _dec("o_totalprice").cast("double").alias("total"),
     )
+    return _finish(spark, agg, tmp)
 
 
 @query(
@@ -107,8 +123,9 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     price column, batch v2 adds it; mergeSchema reads both with NULLs
     where v1 had no column — the add-column path of an evolving lake
     table (Iceberg schema evolution in fallback form)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="qcflow_srcevo_"), "part")
+    tmp = tempfile.mkdtemp(prefix="qcflow_srcevo_")
     part = t(spark, sf_dir, "part")
+    out = os.path.join(tmp, "part")
     part.filter(F.col("p_partkey") % 2 == 0).select("p_partkey", "p_size").write.mode(
         "overwrite"
     ).parquet(out)
@@ -116,8 +133,9 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_size", "p_retailprice"
     ).write.mode("append").parquet(out)
     back = spark.read.option("mergeSchema", True).parquet(out)
-    return back.agg(
+    agg = back.agg(
         F.count("*").alias("n_rows"),
         F.count("p_retailprice").alias("n_with_price"),
         _dec("p_retailprice").cast("double").alias("total_price"),
     )
+    return _finish(spark, agg, tmp)

@@ -6,9 +6,10 @@ frame persisted once — the single most important physical decision when
 
   read clips
     -> explicit clip_id-hash bucketing (the unit of parallelism & resume)
+    -> optional acoustic features     [ONE decode Arrow crossing]
+    -> optional PCM consistency       [byte-length column expressions]
     -> transcript features            [column expressions, codegen]
     -> langid + perplexity            [ONE Arrow crossing]
-    -> optional PCM consistency       [byte-length column expressions]
     -> thresholds (derived once, globally — exact or sketch)
     -> rule engine -> keep / drop_reasons
     -> scrub                          [regexp_replace chain]
@@ -16,8 +17,10 @@ frame persisted once — the single most important physical decision when
   tables (drop-reason histogram, langid-confidence histogram), lineage
   rows per bucket (input/kept/dropped counts) — the resume manifest.
 
-Scale notes: `bytes` is pruned out of every path unless the PCM stage is
-on (verify with .explain: ReadSchema excludes it). Buckets are
+Scale notes: `bytes` is pruned out of every path unless a bytes-reading
+stage (PCM consistency or acoustic features) is on — verify with
+.explain: ReadSchema excludes it; decode-crossing variants stage through
+parquet instead of persist (measured 5x). Buckets are
 pmod(xxhash64(clip_id), n_buckets) — stable across cluster sizes, so
 lineage and resume are parallelism-independent. Skewed language buckets
 only matter to the metrics aggregates, whose keys include lang; the salt

@@ -262,13 +262,24 @@ def with_audio_features(df: DataFrame) -> DataFrame:
             ):
                 if b is None or codec not in audio.KNOWN_CODECS:
                     continue
-                x32 = audio.decode(bytes(b), codec)
+                # row-level guards, never task-fatal (a QC stage must not
+                # die on garbage rows): malformed bytes (e.g. odd-length
+                # pcm16 breaks frombuffer) yield NULL features; NULL
+                # sr_hz (Arrow null -> NaN) takes the same 8000 fallback
+                # as an invalid rate — only the silence frame grid
+                # depends on it
+                try:
+                    x32 = audio.decode(bytes(b), codec)
+                except (ValueError, TypeError):
+                    continue
+                sr_eff = (
+                    int(sr)
+                    if sr is not None and not pd.isna(sr) and int(sr) in audio.VALID_SR
+                    else 8000
+                )
                 ns[i] = len(x32)
                 if not len(x32):
                     continue
-                sr_eff = (
-                    int(sr) if sr is not None and int(sr) in audio.VALID_SR else 8000
-                )
                 stats = acoustic_stats(x32, sr_eff)
                 for k in keys:
                     cols[k][i] = stats[k]

@@ -67,8 +67,15 @@ def test_features_match_independent_reference(spark):
 
 
 def test_null_bytes_and_unknown_codec_yield_null_features(spark):
+    """Garbage rows are row-level NULLs, never task-fatal: NULL bytes,
+    unknown codec, NULL sr_hz (Arrow null -> NaN -> int() raises), and
+    malformed payloads (odd-length pcm16 breaks frombuffer)."""
     df = spark.createDataFrame(
-        [("a", None, 8000, "pcm16"), ("b", b"\x00\x01", 8000, "opus")],
+        [
+            ("a", None, 8000, "pcm16"),
+            ("b", b"\x00\x01", 8000, "opus"),
+            ("d", b"\x00\x01\x02", 8000, "pcm16"),  # odd-length payload
+        ],
         "clip_id string, bytes binary, sr_hz int, codec string",
     )
     got = with_audio_features(df).toPandas()
@@ -82,6 +89,16 @@ def test_null_bytes_and_unknown_codec_yield_null_features(spark):
         "dc_offset",
     ]
     assert got[feat_cols].isna().all().all()
+    # valid bytes + NULL sr takes the 8000 frame-grid fallback instead:
+    # real features, not a dead row (and definitely not a dead task)
+    wave = audio.pcm16_encode(np.sin(np.arange(4000) / 10).astype(np.float32) * 0.4)
+    df2 = spark.createDataFrame(
+        [("e", wave, None, "pcm16")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    got2 = with_audio_features(df2).toPandas()
+    assert got2["ac_n_samples"].iloc[0] == 4000
+    assert not got2[feat_cols].isna().any().any()
 
 
 def test_planted_defects_recovered_exactly(spark):
