@@ -60,11 +60,15 @@ def stream_score(
     n_buckets: int = N_BUCKETS,
     max_files_per_trigger: int = 8,
     dedup_within: str | None = None,
+    check_acoustics: bool = False,
 ) -> StreamingQuery:
     """File-source stream -> (optional watermarked dedup) -> QC score ->
     exactly-once parquet appends. ``dedup_within`` (e.g. "10 minutes")
     drops re-deliveries of the same clip_id arriving within the watermark
-    delay; the source schema must then carry ``ingest_ts``."""
+    delay; the source schema must then carry ``ingest_ts``.
+    ``check_acoustics`` adds the decoded-PCM feature stage + rules (one
+    Arrow crossing per micro-batch, before bytes are dropped) — stream
+    twin of score_clips(check_acoustics=True)."""
     schema = CLIPS_INGEST_SCHEMA if dedup_within else CLIPS_SCHEMA
     stream = (
         spark.readStream.schema(schema)
@@ -77,10 +81,17 @@ def stream_score(
             .dropDuplicatesWithinWatermark(["clip_id"])
             .drop("ingest_ts")
         )
+    extra_rules = []
+    if check_acoustics:
+        from qcflow.rules import acoustic_rule_conditions
+        from qcflow.udfs import with_audio_features
+
+        stream = with_audio_features(stream)
+        extra_rules = acoustic_rule_conditions()
     scored = stream.drop("bytes").withColumn("bucket", bucket_col(n_buckets))
     scored = clip_features(scored)
     scored = with_langid_ppl(scored, spark)
-    scored = scrub(apply_rules(scored, thresholds))
+    scored = scrub(apply_rules(scored, thresholds, extra_rules=extra_rules))
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a failed/restarted batch re-runs

@@ -174,3 +174,48 @@ def test_windowed_metrics(spark, tmp_path):
     assert len(out) == 2  # two 5-minute windows
     aru = out[out.lang == "aru"].iloc[0]
     assert aru.n == 2 and aru.n_dropped == 1
+
+
+def test_stream_acoustic_rules_drop_planted(spark, tmp_path):
+    """check_acoustics on the stream: planted acoustic defects from the
+    audio_q fixture are dropped with the right reasons, clean rows kept
+    (thresholds frozen wide so only acoustic rules can fire)."""
+    from qcflow.parity.audio_q import _FIX, _materialize
+
+    _materialize()
+    src = str(tmp_path / "in")
+    (
+        spark.read.parquet(_FIX)
+        .withColumn("sr_hz", F.col("sr_hz").cast("int"))  # pandas wrote int64
+        .withColumn("dur_ms", F.lit(1000))
+        .withColumn("transcript", F.lit("plain normal words spoken here"))
+        .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    wide = Thresholds(repetition_lo=0.0, cps_lo=0.0, cps_hi=1e9, ppl_hi=1e9)
+    q = stream_score(spark, src, out, wide, check_acoustics=True)
+    q.awaitTermination()
+    dropped = spark.read.parquet(f"{out}/dropped.parquet").toPandas()
+    kept = spark.read.parquet(f"{out}/kept.parquet").toPandas()
+    truth = pd.read_parquet(_FIX, columns=["clip_id", "planted"])
+    planted_bad = set(
+        truth[truth.planted.isin(["clipped_audio", "silent_audio", "dc_offset"])][
+            "clip_id"
+        ]
+    )
+    # the fixture's undecodable rows split NULL-bytes (valid codec, never
+    # flags) / unknown codec 'opus' (base unknown_codec rule fires)
+    opus = set(
+        cid
+        for cid in truth[truth.planted == "no_bytes"]["clip_id"]
+        if int(cid.split("-")[1]) % 2 == 1
+    )
+    assert set(dropped["clip_id"]) == planted_bad | opus
+    assert len(kept) + len(dropped) == len(truth)
+    for reason in ("clipped_audio", "silent_audio", "dc_offset"):
+        want = set(truth[truth.planted == reason]["clip_id"])
+        got = set(dropped[dropped.drop_reasons.str.contains(reason)]["clip_id"])
+        assert got == want, reason
