@@ -356,3 +356,42 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str, rsd: float = 0.01):
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", rsd).alias("n_users"))
     )
+
+
+# Per-language keep rates for the stratified sampler: downsample the hot
+# language, keep the tail — the classic training-mix rebalance. The "coin"
+# is a shared-arithmetic hash of the row id (Knuth multiplicative, mod
+# 1000), so the sample is deterministic, partition-invariant, and exactly
+# reproducible in both engines — unlike df.sampleBy, whose per-row RNG
+# draw depends on row order within partitions.
+SAMPLE_RATES = {"en": 300, "zh": 900, "es": 900, "de": 900, "fr": 900}
+
+
+@query(
+    "x_stratified_sample",
+    oracle=f"""
+    WITH rates(lang, permille) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items()))}),
+    sampled AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE (d.doc_id * 2654435761) % 1000 < r.permille
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM sampled GROUP BY lang
+    """,
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for language rebalancing: keep a
+    row iff hash(doc_id) mod 1000 falls under its language's permille
+    rate. At 10^12 rows this is a scan-side filter (no shuffle, no RNG
+    state); the rate table is a broadcast literal map."""
+    rate = F.create_map(
+        *[x for k, v in sorted(SAMPLE_RATES.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    docs = t(spark, sf_dir, "documents")
+    coin = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    return (
+        docs.filter(coin < rate[F.col("lang")])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
