@@ -395,3 +395,40 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+QUOTA_PER_LANG = 40
+
+
+@query(
+    "x_quota_sample",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {QUOTA_PER_LANG}
+    """,
+)
+def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota sampling: exactly QUOTA_PER_LANG rows per language, chosen by a
+    deterministic hash order (eval-set construction needs exact counts,
+    not Bernoulli rates). row_number <= k compiles to Spark 4's
+    WindowGroupLimit — a map-side per-group limit runs BEFORE the
+    shuffle, so the hot language ships k rows per map task, not its
+    whole 70% share (the skew-safe form of per-group top-k; see
+    BENCH/BASELINE.md skew section)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007)),
+        "doc_id",
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+        .drop("rn")
+    )

@@ -185,3 +185,11 @@ def _dummy_thr():
     from qcflow.rules import Thresholds
 
     return Thresholds(repetition_lo=0.1, cps_lo=1.0, cps_hi=100.0, ppl_hi=100.0)
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """Spark 4 must compile row_number <= k into WindowGroupLimit — the
+    map-side per-group limit is what makes exact-quota sampling skew-safe
+    (the hot group ships k rows per map task, not its whole share)."""
+    p = plan_of(QUERIES["x_quota_sample"](spark, SF))
+    assert "WindowGroupLimit" in p
