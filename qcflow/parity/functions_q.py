@@ -101,3 +101,34 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.add_months("o_orderdate", 3)).cast("timestamp").alias("plus3m"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "f_variant_extract",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured scale path (Spark 4 VariantType): parse the JSON
+    props column ONCE into the binary variant encoding, then extract
+    typed fields with try_variant_get — at 10^12 rows this beats
+    re-tokenizing JSON text per get_json_object call, and the parse +
+    extract both stay inside whole-stage codegen (no UDF). DuckDB twin
+    uses its native json_extract_string."""
+    e = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

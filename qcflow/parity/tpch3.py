@@ -256,14 +256,19 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_regionkey = 2
       GROUP BY l_partkey)
     SELECT l_partkey, CAST(v AS DOUBLE) AS value
-    FROM val WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM val)
+    FROM val
+    WHERE CAST(v AS DOUBLE) >
+          (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) * 2.0 FROM val)
     """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock identification: per-part value with HAVING above a
     fraction-of-total scalar subquery. The total re-aggregates the
     part-level partials (not the base table), and the single-row total
-    broadcasts onto the filter — q11's plan shape exactly."""
+    broadcasts onto the filter — q11's plan shape exactly. TPC-H scales
+    the fraction by 1/SF; the scale-free equivalent here is 2x the mean
+    part value (= total * 2/n_parts), so survivors exist at every SF —
+    the fixed 0.001 went vacuous (0 rows) at sf0.1."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
@@ -275,7 +280,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(disc_price()).alias("v"))
     )
-    total = val.agg((F.sum("v").cast("double") * 0.001).alias("threshold"))
+    total = val.agg(
+        (F.sum("v").cast("double") / F.count("*") * 2.0).alias("threshold")
+    )
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("v").cast("double") > F.col("threshold"))

@@ -31,7 +31,7 @@ def test_query_without_oracle_runs(spark, sf_dir, name):
 # Queries whose round-1 fixtures returned 0 rows (0 == 0 passes vacuously —
 # a regression to an always-empty plan would have sailed through). Their
 # parameters were re-derived so survivors exist at every SF; pin that here.
-_MUST_BE_NONEMPTY = ["x_ts_band_join", "tpch_q22"]
+_MUST_BE_NONEMPTY = ["x_ts_band_join", "tpch_q22", "tpch_q11"]
 
 
 @pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
