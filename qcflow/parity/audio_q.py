@@ -2,10 +2,11 @@
 
 A 400-clip fixture (pcm16 + ulaw, deterministic seed) plants exactly one
 acoustic defect per defective row — hard clipping (3x gain), dead air
-(0.003 amplitude), converter DC bias (+0.35) — with construction margins
-far outside the detector thresholds (rules.py: clip_ratio > 0.02,
-silence_ratio > 0.5, |dc| > 0.1). It is materialized ONCE to parquet
-under .cache/audio_qc/ at import time (pure numpy, no Spark).
+(0.003 amplitude), converter DC bias (+0.35), dead-mic white noise
+(flatness ~0.9) — with construction margins far outside the detector
+thresholds (rules.py: clip_ratio > 0.02, silence_ratio > 0.5,
+|dc| > 0.1, flatness > 0.5). It is materialized ONCE to parquet under
+.cache/audio_qc/ at import time (pure numpy, no Spark).
 
 The Spark side must recover each planted label from the BYTES alone
 (decode -> features -> flags, qcflow/udfs.py with_audio_features); the
@@ -37,10 +38,19 @@ _DIR = os.path.join(
     ".cache",
     "audio_qc",
 )
-_FIX = os.path.join(_DIR, "clips.parquet")
+_FIX = os.path.join(_DIR, "clips_v2.parquet")  # v2: + noisy_audio plant
 
 # one defect per row, cycling; margins documented above
-_PLANTS = ("", "clipped_audio", "silent_audio", "dc_offset", "", "no_bytes", "")
+_PLANTS = (
+    "",
+    "clipped_audio",
+    "silent_audio",
+    "dc_offset",
+    "noisy_audio",
+    "",
+    "no_bytes",
+    "",
+)
 
 
 def _materialize() -> None:
@@ -65,14 +75,17 @@ def _materialize() -> None:
             x = 0.003 * base  # every 20 ms frame RMS ~ 0.001
         elif plant == "dc_offset":
             x = base + 0.35
+        elif plant == "noisy_audio":
+            x = rng.normal(0.0, 0.25, n)  # dead mic: pure broadband noise
         else:
             x = base
         x = np.clip(x, -0.999, 0.999).astype(np.float32)
         codec = "pcm16" if i % 2 == 0 else "ulaw"
         if plant == "no_bytes":
             # undecodable rows: half NULL bytes, half unknown codec —
-            # features NULL, flags all false
-            if i % 2 == 0:
+            # features NULL, flags all false (cycle length is even, so
+            # the split keys on the cycle index, not the row index)
+            if (i // len(_PLANTS)) % 2 == 0:
                 b = None
             else:
                 b, codec = b"\x01\x02\x03\x04", "opus"
@@ -100,7 +113,8 @@ _ORACLE = f"""
 SELECT clip_id,
        planted = 'clipped_audio' AS is_clipped,
        planted = 'silent_audio' AS is_silent,
-       planted = 'dc_offset' AS has_dc_offset
+       planted = 'dc_offset' AS has_dc_offset,
+       planted = 'noisy_audio' AS is_noisy
 FROM '{_FIX}'
 ORDER BY clip_id
 """
@@ -124,4 +138,5 @@ def audio_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(conds["clipped_audio"], F.lit(False)).alias("is_clipped"),
         F.coalesce(conds["silent_audio"], F.lit(False)).alias("is_silent"),
         F.coalesce(conds["dc_offset"], F.lit(False)).alias("has_dc_offset"),
+        F.coalesce(conds["noisy_audio"], F.lit(False)).alias("is_noisy"),
     )

@@ -102,15 +102,19 @@ def rule_conditions(thr: Thresholds) -> list[tuple[str, Column]]:
 CLIP_RATIO_MAX = 0.02
 SILENCE_RATIO_MAX = 0.5
 DC_OFFSET_MAX = 0.1
+# spectral flatness: tonal content (speech/music) <= ~0.01, a tone in
+# heavy noise ~0.5, white noise (dead mic / broken preamp) ~0.9
+NOISY_FLATNESS_MAX = 0.5
 
 
 def acoustic_rule_conditions() -> list[tuple[str, Column]]:
     """Drop rules over the decoded-PCM features; NULL features (no bytes /
-    unknown codec) never flag, same as every other rule."""
+    unknown codec / sub-frame clips) never flag, same as every other rule."""
     return [
         ("clipped_audio", F.col("clip_ratio") > CLIP_RATIO_MAX),
         ("silent_audio", F.col("silence_ratio") > SILENCE_RATIO_MAX),
         ("dc_offset", F.abs(F.col("dc_offset")) > DC_OFFSET_MAX),
+        ("noisy_audio", F.col("spectral_flatness") > NOISY_FLATNESS_MAX),
     ]
 
 

@@ -219,7 +219,38 @@ def acoustic_stats(x32: np.ndarray, sr_eff: int, block: int = 16384) -> dict:
         "silence_ratio": (
             n_silent / n_frames if n_frames else float(rms < SILENCE_FRAME_RMS)
         ),
+        "spectral_flatness": spectral_flatness(x32),
     }
+
+
+FFT_FRAME = 2048
+FFT_MAX_FRAMES = 16  # flatness converges in a handful of frames
+
+
+def spectral_flatness(x32: np.ndarray) -> float:
+    """Geometric/arithmetic mean ratio of the average power spectrum over
+    up to 16 evenly-strided 2048-sample frames (DC bin excluded). Tonal
+    content (speech, music, the synth fixture) measures <= ~0.01; white
+    noise — a dead mic, a broken preamp — measures ~0.9; a tone buried
+    in heavy noise ~0.5 (calibration in tests/test_audio_features.py).
+    NaN when the clip is shorter than one frame (rules never fire on
+    NaN). Frames are capped and strided deterministically and the FFT
+    runs in float32 (complex64 out), keeping the cost fixed per clip
+    (~0.2 ms single-thread) instead of growing with clip length — an
+    every-frame float64 FFT allocates two clip-sized complex temporaries
+    per row, which matters at 32-way parallelism even though any of
+    these variants is dwarfed by the stage's staging-write I/O (measured
+    A/B in one session: identical code ran 32.4s then 5.9s on 10k
+    clips — the variance is the shared vdisk, not the math)."""
+    m = len(x32) // FFT_FRAME
+    if not m:
+        return float("nan")
+    take = min(m, FFT_MAX_FRAMES)
+    idx = (np.arange(take) * (m // take)) * FFT_FRAME
+    fr = np.stack([x32[s : s + FFT_FRAME] for s in idx]).astype(np.float32)
+    spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
+    ms = spec.mean(axis=0, dtype=np.float64)[1:]
+    return float(np.exp(np.log(ms + 1e-12).mean()) / (ms.mean() + 1e-12))
 
 
 def with_audio_features(df: DataFrame) -> DataFrame:
@@ -242,7 +273,8 @@ def with_audio_features(df: DataFrame) -> DataFrame:
 
     @F.pandas_udf(
         "ac_n_samples long, ac_rms double, ac_peak double, clip_ratio double,"
-        " silence_ratio double, zcr double, dc_offset double"
+        " silence_ratio double, zcr double, dc_offset double,"
+        " spectral_flatness double"
     )
     def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = (
@@ -252,6 +284,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
             "silence_ratio",
             "zcr",
             "dc_offset",
+            "spectral_flatness",
         )
         for pdf in it:
             n_rows = len(pdf)
@@ -296,6 +329,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
         "silence_ratio",
         "zcr",
         "dc_offset",
+        "spectral_flatness",
     ]
     out = out.select("*", *[f"_a.{c}" for c in feats]).drop("_a")
     # -1 marks "undecodable" inside the Arrow frame (long has no NaN);

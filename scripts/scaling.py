@@ -262,11 +262,15 @@ serial stage (one scan, one Python crossing, one aggregate).
 
 qc_pipeline (no bytes, single-pass metrics cube): 4471 clips/s;
 bytes-reading consistency path on a pruned 10k slice: 3283 clips/s;
-acoustic stage (true decode + blocked clip/silence/ZCR/DC features +
-rules) on the same slice: 1855 clips/s — parquet staging instead of
-persist took it 439 -> 1009, L2-blocked single-pass stats 1009 -> 1855
-(bench.py keys clips_per_sec / pcm_clips_per_sec /
-acoustic_clips_per_sec, cooled box).
+acoustic stage (true decode + blocked clip/silence/ZCR/DC/flatness
+features + rules) on the same slice: 1702 clips/s best — parquet
+staging instead of persist took it 439 -> 1009, L2-blocked single-pass
+stats 1009 -> 1855, spectral flatness added at ~0.2 ms/clip (strided
+16-frame float32 FFT). The stage's run-to-run spread is large (309-1702
+clips/s for identical code in one session, A/B-verified): it is bounded
+by the staging write on the shared vdisk, not compute (bench.py keys
+clips_per_sec / pcm_clips_per_sec / acoustic_clips_per_sec, cooled
+box).
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 

@@ -113,10 +113,10 @@ def test_planted_defects_recovered_exactly(spark):
     assert (j["is_clipped"] == (j["planted"] == "clipped_audio")).all()
     assert (j["is_silent"] == (j["planted"] == "silent_audio")).all()
     assert (j["has_dc_offset"] == (j["planted"] == "dc_offset")).all()
+    assert (j["is_noisy"] == (j["planted"] == "noisy_audio")).all()
     # the fixture genuinely exercises each defect and the clean regime
-    assert (j["planted"] == "clipped_audio").sum() >= 50
-    assert (j["planted"] == "silent_audio").sum() >= 50
-    assert (j["planted"] == "dc_offset").sum() >= 50
+    for plant in ("clipped_audio", "silent_audio", "dc_offset", "noisy_audio"):
+        assert (j["planted"] == plant).sum() >= 50, plant
     assert (j["planted"] == "").sum() >= 100
 
 
@@ -141,7 +141,25 @@ def test_pipeline_check_acoustics_drops_planted(spark):
         "clip_id"
     )
     j = got.join(truth)
-    for reason in ("clipped_audio", "silent_audio", "dc_offset"):
+    for reason in ("clipped_audio", "silent_audio", "dc_offset", "noisy_audio"):
         planted = j["planted"] == reason
         fired = j["drop_reasons"].str.contains(reason)
         assert (planted == fired).all(), reason
+
+
+def test_spectral_flatness_separates_tone_from_noise():
+    """Calibration behind NOISY_FLATNESS_MAX: tonal content sits orders
+    of magnitude below the threshold, broadband noise far above, and a
+    sub-frame clip yields NaN (rule can never fire)."""
+    from qcflow.rules import NOISY_FLATNESS_MAX
+    from qcflow.udfs import spectral_flatness
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16000) / 16000.0
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t) + rng.normal(0, 0.01, 16000)).astype(
+        np.float32
+    )
+    noise = rng.normal(0, 0.25, 16000).astype(np.float32)
+    assert spectral_flatness(tone) < 0.05 < NOISY_FLATNESS_MAX
+    assert spectral_flatness(noise) > NOISY_FLATNESS_MAX
+    assert np.isnan(spectral_flatness(tone[:2000]))

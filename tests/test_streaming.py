@@ -202,20 +202,22 @@ def test_stream_acoustic_rules_drop_planted(spark, tmp_path):
     kept = spark.read.parquet(f"{out}/kept.parquet").toPandas()
     truth = pd.read_parquet(_FIX, columns=["clip_id", "planted"])
     planted_bad = set(
-        truth[truth.planted.isin(["clipped_audio", "silent_audio", "dc_offset"])][
-            "clip_id"
-        ]
+        truth[
+            truth.planted.isin(
+                ["clipped_audio", "silent_audio", "dc_offset", "noisy_audio"]
+            )
+        ]["clip_id"]
     )
     # the fixture's undecodable rows split NULL-bytes (valid codec, never
     # flags) / unknown codec 'opus' (base unknown_codec rule fires)
     opus = set(
         cid
         for cid in truth[truth.planted == "no_bytes"]["clip_id"]
-        if int(cid.split("-")[1]) % 2 == 1
+        if (int(cid.split("-")[1]) // 8) % 2 == 1
     )
     assert set(dropped["clip_id"]) == planted_bad | opus
     assert len(kept) + len(dropped) == len(truth)
-    for reason in ("clipped_audio", "silent_audio", "dc_offset"):
+    for reason in ("clipped_audio", "silent_audio", "dc_offset", "noisy_audio"):
         want = set(truth[truth.planted == reason]["clip_id"])
         got = set(dropped[dropped.drop_reasons.str.contains(reason)]["clip_id"])
         assert got == want, reason
