@@ -17,6 +17,7 @@ tests/test_multimodal.py.
 from __future__ import annotations
 
 import os
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -74,6 +75,100 @@ SELECT img_id,
             AS INT) AS thumb_bytes
 FROM '{_FIX}'
 """
+
+
+N_VIDEOS = 60
+FRAME_EVERY = 2
+_VFIX = os.path.join(_DIR, "videos.parquet")
+
+
+def _materialize_videos() -> None:
+    if os.path.exists(_VFIX):
+        return
+    from qcflow.multimodal import qvid_encode
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_VIDEOS):
+        rng = np.random.default_rng([5077, 9, i])
+        n_frames = int(rng.integers(1, 12))
+        w, h = int(rng.integers(8, 33)), int(rng.integers(8, 25))
+        frames = [
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        # truth: per-frame channel-R mean of the SAMPLED frames, plain
+        # python sums (independent of the decode path's numpy mean)
+        sampled = list(range(0, n_frames, FRAME_EVERY))
+        rows.append(
+            {
+                "vid_id": i,
+                "payload": qvid_encode(frames),
+                "t_n_frames": n_frames,
+                "t_sampled_idx": sampled,
+                "t_frame_bytes": 12 + w * h * 3,
+                "t_mean_r": [
+                    float(sum(int(v) for v in frames[j][:, :, 0].ravel()) / (w * h))
+                    for j in sampled
+                ],
+            }
+        )
+    pd.DataFrame(rows).to_parquet(_VFIX, index=False)
+
+
+_materialize_videos()
+
+_VORACLE = f"""
+SELECT vid_id,
+       CAST(unnest(t_sampled_idx) AS INT) AS frame_idx,
+       CAST(unnest(list_transform(t_sampled_idx, i -> t_frame_bytes)) AS INT)
+         AS frame_bytes,
+       ROUND(unnest(t_mean_r), 4) AS frame_mean_r
+FROM '{_VFIX}'
+"""
+
+
+@query("mm_video_frames", oracle=_VORACLE)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the bytes: QVID payloads -> every
+    2nd frame exploded to its own row (mapInPandas) -> per-frame decode
+    + channel mean. The oracle unnests construction truth, so the hash
+    gates frame COUNTS, frame GEOMETRY, and frame CONTENT end-to-end."""
+    from qcflow.multimodal import video_frame_sample
+
+    _materialize_videos()
+    vids = spark.read.parquet(_VFIX).select("vid_id", "payload")
+    frames = video_frame_sample(vids, every=FRAME_EVERY)
+    return (
+        frames.select(
+            "vid_id",
+            "frame_idx",
+            F.length("frame").cast("int").alias("frame_bytes"),
+            F.col("frame"),
+        )
+        .withColumn("_m", _frame_mean_r_udf(F.col("frame")))
+        .select(
+            "vid_id",
+            "frame_idx",
+            "frame_bytes",
+            F.round("_m", 4).alias("frame_mean_r"),
+        )
+    )
+
+
+def _frame_mean_r_udf(col):
+    @F.pandas_udf("double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from qcflow.multimodal import qimg_decode
+
+        for s in it:
+            out = []
+            for b in s:
+                arr = qimg_decode(bytes(b))
+                out.append(float(arr[:, :, 0].astype(np.float64).mean()))
+            yield pd.Series(out)
+
+    return _udf(col)
 
 
 @query("mm_image_features", oracle=_ORACLE)
