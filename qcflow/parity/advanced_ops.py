@@ -6,6 +6,8 @@ Each with an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -431,4 +433,34 @@ def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= QUOTA_PER_LANG)
         .drop("rn")
+    )
+
+
+@query(
+    "x_mad_per_group",
+    oracle="""
+    SELECT event_type, ROUND(mad(value), 6) AS mad_value
+    FROM events GROUP BY event_type
+    """,
+)
+def x_mad_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group via a GROUPED_AGG pandas UDF —
+    the robust spread statistic behind MAD outlier fences (the IQR
+    fences' heavy-tail-safe cousin; rules.py's percentile thresholds are
+    the derived-threshold family this extends). No built-in composition
+    computes median-of-|x - median| in one aggregation, so this is the
+    one legitimate grouped-agg Python crossing: Arrow ships each group's
+    column once, numpy medians it. SKEW CAVEAT (same as exact
+    percentile): the buffer holds the whole group on one reducer — for a
+    70%-hot key use the approx-percentile sketch twin instead
+    (qcflow/rules.py derive_thresholds(exact=False))."""
+    @F.pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
+        x = v.to_numpy(dtype=np.float64)
+        return float(np.median(np.abs(x - np.median(x))))
+
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(_mad("value"), 6).alias("mad_value"))
     )
