@@ -210,9 +210,12 @@ Measurement history (same job, this file's git history): round 1 measured
 pair 0.9 (local[4] 209.9s -> local[16] 58.3s, per-round [0.9, 0.184,
 0.561]); a later round-2 re-run on a visibly loaded host measured
 per-round [0.424, 0.294, 0.681] with local[16] legs 81-177s on identical
-code. Identical-code local[16] runs have been observed anywhere in
-58-297s depending on host load, which is why rounds are paired, the best
-quiet pair is the reported capability, and every raw second is disclosed.
+code, and a further 2-pair re-run measured [0.340, 0.578] (local[4]
+233-297s, local[16] 101-218s — the host's high-parallelism ceiling
+degraded while the narrow leg moved far less). Identical-code local[16]
+runs have been observed anywhere in 58-297s depending on host load,
+which is why rounds are paired, the best quiet pair is the reported
+capability, and every raw second is disclosed.
 
 Determinism across parallelism: both runs kept exactly
 {results[4]['n_kept']} of {ROWS} clips (bucket = pmod(xxhash64(clip_id), 64)
