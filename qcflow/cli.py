@@ -6,7 +6,10 @@ decide; ship the package with ``--py-files qcflow.zip``):
   spark-submit --py-files qcflow.zip -m qcflow.cli ... # or:
   python -m qcflow.cli gen --rows 20000 --out /tmp/clips
   python -m qcflow.cli run --clips /tmp/clips/clips.parquet --out /tmp/qc \
-      [--resume] [--check-pcm] [--approx-thresholds] [--cpus 32]
+      [--resume] [--check-pcm] [--check-acoustics] [--approx-thresholds]
+  python -m qcflow.cli stream --in /data/landing --out /tmp/qcs \
+      --calib /tmp/qc [--dedup-within '10 minutes'] [--check-acoustics] \
+      [--compact]   # availableNow drain; rerun/schedule for continuous
 
 Prints one JSON line with counts + timings.
 """
@@ -39,13 +42,64 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--approx-thresholds", action="store_true")
     r.add_argument("--n-buckets", type=int, default=64)
 
+    s = sub.add_parser(
+        "stream",
+        help="continuous ingest: score clip files landing in a directory "
+        "(availableNow trigger — drains what's there, then exits; rerun "
+        "or schedule for continuous operation)",
+    )
+    s.add_argument("--in", dest="input_dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument(
+        "--calib",
+        required=True,
+        help="calibration source for frozen thresholds: a prior run's "
+        "out dir (reuses its thresholds.json) or a clips parquet to "
+        "derive them from (a stream cannot take a global percentile)",
+    )
+    s.add_argument("--cpus", type=int, default=None)
+    s.add_argument("--dedup-within", default=None, metavar="DURATION")
+    s.add_argument("--check-acoustics", action="store_true")
+    s.add_argument("--compact", action="store_true")
+
     args = p.parse_args(argv)
 
     from qcflow.session import get_spark
 
     spark = get_spark("qcflow-cli", cpus=args.cpus)
     t0 = time.time()
-    if args.cmd == "gen":
+    if args.cmd == "stream":
+        from qcflow.checkpoint import load_thresholds, save_thresholds
+        from qcflow.pipeline import score_clips
+        from qcflow.streaming import compact_stream_output, stream_score
+
+        thr = load_thresholds(args.calib)
+        if thr is None:
+            calib = spark.read.parquet(args.calib)
+            res = score_clips(spark, calib, exact_thresholds=False)
+            thr = res.thresholds
+            res.release()
+        save_thresholds(thr, args.out)  # next run can --calib this out dir
+        q = stream_score(
+            spark,
+            args.input_dir,
+            args.out,
+            thr,
+            dedup_within=args.dedup_within,
+            check_acoustics=args.check_acoustics,
+        )
+        q.awaitTermination()
+        if args.compact:
+            compact_stream_output(spark, args.out)
+        lin = spark.read.parquet(f"{args.out}/lineage.parquet")
+        agg = lin.groupBy().sum("n_input", "n_kept").collect()[0]
+        out = {
+            "cmd": "stream",
+            "n_input": int(agg[0] or 0),
+            "n_kept": int(agg[1] or 0),
+            "thresholds": thr.__dict__,
+        }
+    elif args.cmd == "gen":
         from qcflow.synth import generate_clips
 
         generate_clips(spark, args.rows, args.out, partitions=args.partitions)
