@@ -500,3 +500,68 @@ def x_udtf_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM qcflow_udtf_docs d, LATERAL qcflow_tokens(d.text) t"
     )
+
+
+@query(
+    "x_ks_drift_per_group",
+    oracle="""
+    WITH groups AS (SELECT DISTINCT event_type FROM events),
+    u AS (  -- per group: every global value, tagged if it's the group's own
+      SELECT g.event_type, e.value,
+             CASE WHEN e.event_type = g.event_type THEN 1 ELSE 0 END AS in_g
+      FROM events e CROSS JOIN groups g
+    ),
+    c AS (
+      SELECT event_type,
+             SUM(in_g) OVER w AS c_g,
+             COUNT(*) OVER w AS c_r,
+             SUM(in_g) OVER (PARTITION BY event_type) AS n_g,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_ref
+      FROM u
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(CAST(c_g AS DOUBLE) / n_g
+                         - CAST(c_r AS DOUBLE) / n_ref)), 6) AS ks
+    FROM c GROUP BY event_type
+    """,
+)
+def x_ks_drift_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Kolmogorov-Smirnov drift: sup |ECDF_group - ECDF_global|
+    of the value distribution — the statistic a QC monitor reports when
+    one language's scores drift from the corpus. The group's whole sorted
+    sample is required at once (sup over order statistics is not
+    decomposable), so this is the engine's grouped-map `applyInPandas`
+    crossing: each group ships through Arrow, numpy searchsorted
+    evaluates both ECDFs over the candidate points. The global reference
+    is collected once and closure-captured (at 10^12 rows: broadcast a
+    KLL-sketch quantile sample instead — the candidate grid shrinks, the
+    group pass is unchanged). Oracle computes the same sup via window
+    cumulative counts (RANGE frame folds ties)."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    ref = np.sort(
+        np.array([r[0] for r in ev.select("value").collect()], dtype=np.float64)
+    )
+    n_ref = len(ref)
+
+    pts = np.unique(ref)  # candidate points; tie-safe (ECDF per distinct value)
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = np.sort(pdf["value"].to_numpy(dtype=np.float64))
+        f_g = np.searchsorted(g, pts, side="right") / len(g)
+        f_r = np.searchsorted(ref, pts, side="right") / n_ref
+        # candidate points = distinct global values (every group value is
+        # one, since groups partition the global sample)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "ks": [float(np.abs(f_g - f_r).max())],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(ks, "event_type string, ks double")
+        .select("event_type", F.round("ks", 6).alias("ks"))
+    )
