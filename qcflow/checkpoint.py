@@ -211,6 +211,8 @@ def run_resumable(
     n_buckets: int = N_BUCKETS,
     exact_thresholds: bool = True,
     max_buckets: int | None = None,
+    check_pcm: bool = False,
+    check_acoustics: bool = False,
 ) -> dict:
     """Process all not-yet-committed buckets (optionally capped at
     ``max_buckets`` — the test hook that simulates a mid-run kill).
@@ -237,7 +239,14 @@ def run_resumable(
     subset = clips.withColumn("bucket", bucket_col(n_buckets)).filter(
         F.col("bucket").isin(todo)
     ).drop("bucket")
-    res = score_clips(spark, subset, thresholds=thr, n_buckets=n_buckets)
+    res = score_clips(
+        spark,
+        subset,
+        thresholds=thr,
+        n_buckets=n_buckets,
+        check_pcm=check_pcm,
+        check_acoustics=check_acoustics,
+    )
     snap = next_snapshot_id(spark, out_dir)
     _write_attempt(res.scored, out_dir, snap, "append", all_buckets=todo)
     res.release()

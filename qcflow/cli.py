@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -91,12 +92,17 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         if args.compact:
             compact_stream_output(spark, args.out)
-        lin = spark.read.parquet(f"{args.out}/lineage.parquet")
-        agg = lin.groupBy().sum("n_input", "n_kept").collect()[0]
+        # a drain that fired zero batches writes no lineage yet — still a
+        # success (scheduled reruns before files land must print n_input=0)
+        n_in = n_kept = 0
+        if os.path.exists(f"{args.out}/lineage.parquet"):
+            lin = spark.read.parquet(f"{args.out}/lineage.parquet")
+            agg = lin.groupBy().sum("n_input", "n_kept").collect()[0]
+            n_in, n_kept = int(agg[0] or 0), int(agg[1] or 0)
         out = {
             "cmd": "stream",
-            "n_input": int(agg[0] or 0),
-            "n_kept": int(agg[1] or 0),
+            "n_input": n_in,
+            "n_kept": n_kept,
             "thresholds": thr.__dict__,
         }
     elif args.cmd == "gen":
@@ -114,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 n_buckets=args.n_buckets,
                 exact_thresholds=not args.approx_thresholds,
+                check_pcm=args.check_pcm,
+                check_acoustics=args.check_acoustics,
             )
             out["cmd"] = "run-resumable"
         else:
@@ -129,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.n_buckets,
             )
             out = write_outputs(res, args.out)
+            # persist thresholds so this out dir works as --calib for the
+            # stream command (and as a frozen-threshold source generally)
+            from qcflow.checkpoint import save_thresholds
+
+            save_thresholds(res.thresholds, args.out)
             out["cmd"] = "run"
             out["thresholds"] = res.thresholds.__dict__
     out["sec"] = round(time.time() - t0, 2)

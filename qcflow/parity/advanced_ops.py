@@ -362,11 +362,23 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str, rsd: float = 0.01):
 
 # Per-language keep rates for the stratified sampler: downsample the hot
 # language, keep the tail — the classic training-mix rebalance. The "coin"
-# is a shared-arithmetic hash of the row id (Knuth multiplicative, mod
-# 1000), so the sample is deterministic, partition-invariant, and exactly
-# reproducible in both engines — unlike df.sampleBy, whose per-row RNG
-# draw depends on row order within partitions.
+# is a shared-arithmetic hash of the row id — (id mod P) * K mod P with a
+# large prime P, THEN mod 1000 — so the sample is deterministic,
+# partition-invariant, and exactly reproducible in both engines (unlike
+# df.sampleBy, whose per-row RNG draw depends on row order within
+# partitions). The prime step matters twice: a bare (id * K) mod 1000
+# depends only on id mod 1000 (block/stride id allocation would be
+# sampled all-or-nothing per shard), and reducing mod P BEFORE the
+# multiply keeps the product under 2^63 at any id (ANSI mode and DuckDB
+# both raise on BIGINT overflow).
 SAMPLE_RATES = {"en": 300, "zh": 900, "es": 900, "de": 900, "fr": 900}
+HASH_P = 1_000_000_007
+HASH_K = 2_654_435_761
+_SQL_ID_HASH = f"(((doc_id % {HASH_P}) * {HASH_K}) % {HASH_P})"
+
+
+def _id_hash(col: str):
+    return F.pmod(F.pmod(F.col(col), F.lit(HASH_P)) * F.lit(HASH_K), F.lit(HASH_P))
 
 
 @query(
@@ -376,7 +388,7 @@ SAMPLE_RATES = {"en": 300, "zh": 900, "es": 900, "de": 900, "fr": 900}
     sampled AS (
       SELECT d.lang
       FROM documents d JOIN rates r ON d.lang = r.lang
-      WHERE (d.doc_id * 2654435761) % 1000 < r.permille
+      WHERE {_SQL_ID_HASH} % 1000 < r.permille
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM sampled GROUP BY lang
@@ -391,7 +403,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[x for k, v in sorted(SAMPLE_RATES.items()) for x in (F.lit(k), F.lit(v))]
     )
     docs = t(spark, sf_dir, "documents")
-    coin = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    coin = F.pmod(_id_hash("doc_id"), F.lit(1000))
     return (
         docs.filter(coin < rate[F.col("lang")])
         .groupBy("lang")
@@ -410,7 +422,7 @@ QUOTA_PER_LANG = 40
       SELECT lang, doc_id,
              ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ORDER BY {_SQL_ID_HASH}, doc_id
              ) AS rn
       FROM documents
     ) WHERE rn <= {QUOTA_PER_LANG}
@@ -424,10 +436,7 @@ def x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, so the hot language ships k rows per map task, not its
     whole 70% share (the skew-safe form of per-group top-k; see
     BENCH/BASELINE.md skew section)."""
-    w = Window.partitionBy("lang").orderBy(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1_000_000_007)),
-        "doc_id",
-    )
+    w = Window.partitionBy("lang").orderBy(_id_hash("doc_id"), "doc_id")
     return (
         t(spark, sf_dir, "documents")
         .select("lang", "doc_id", F.row_number().over(w).alias("rn"))

@@ -250,6 +250,11 @@ def spectral_flatness(x32: np.ndarray) -> float:
     fr = np.stack([x32[s : s + FFT_FRAME] for s in idx]).astype(np.float32)
     spec = np.abs(np.fft.rfft(fr, axis=1)) ** 2
     ms = spec.mean(axis=0, dtype=np.float64)[1:]
+    if not ms.any():
+        # all-zero / pure-DC clips have no AC spectrum at all: the 0/0
+        # ratio would collapse to ~1 through the epsilons and mislabel
+        # digital silence as broadband noise — NaN, like sub-frame clips
+        return float("nan")
     return float(np.exp(np.log(ms + 1e-12).mean()) / (ms.mean() + 1e-12))
 
 
