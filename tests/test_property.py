@@ -160,3 +160,21 @@ def test_blocked_acoustic_stats_match_naive(seed, sr, n, gain, dc):
     assert got["silence_ratio"] == sil
     np.testing.assert_allclose(got["ac_rms"], np.sqrt(np.mean(xd * xd)), atol=1e-12)
     np.testing.assert_allclose(got["dc_offset"], np.mean(xd), atol=1e-12)
+
+
+def test_sampling_hash_not_periodic_in_id_blocks():
+    """The stratified-sampling coin must depend on all id bits: under the
+    old (id * K) % 1000 coin, every id in a residue class mod 1000 drew
+    the SAME coin, so stride/block id allocation (shard s owning ids
+    s, s+1000, ...) was sampled all-or-nothing. The prime-modulus hash
+    must spread each such class over many coin values, and stay exact
+    (no overflow) at 10^12-scale ids."""
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    for c in (0, 7, 999):
+        ids = [c + 1000 * k for k in range(200)]
+        coins = {(i % HASH_P) * HASH_K % HASH_P % 1000 for i in ids}
+        assert len(coins) > 100, f"class {c}: {len(coins)} distinct coins"
+    # overflow-safety at 10^12 ids: the reduced product stays under 2^63
+    big = 10**12 + 123
+    assert (big % HASH_P) * HASH_K < 2**63
