@@ -82,13 +82,20 @@ def _read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
         raise  # corrupted/unreadable manifest must NOT mean 'reprocess all'
 
 
-def valid_pairs(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def valid_pairs(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame | None:
     """Committed (snapshot_id, bucket) pairs: every lineage row at-or-after
     the bucket's latest 'replace' commit. Manifest-sized (attempts x
-    buckets), always broadcastable."""
+    buckets), always broadcastable. ``as_of`` restricts the view to
+    commits with snapshot_id <= as_of — time travel: replaces AFTER the
+    cutoff have not happened yet, so the pre-replace rows are visible
+    again, exactly Iceberg's snapshot-as-of read."""
     lin = _read_lineage(spark, out_dir)
     if lin is None:
         return None
+    if as_of is not None:
+        lin = lin.filter(F.col("snapshot_id") <= as_of)
     cutoff = (
         lin.filter(F.col("kind") == "replace")
         .groupBy("bucket")
@@ -142,6 +149,24 @@ def read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     read-path contract over plain parquet."""
     rows = spark.read.parquet(f"{out_dir}/{table}.parquet")
     vp = valid_pairs(spark, out_dir)
+    if vp is None:
+        return rows.limit(0)
+    return rows.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
+
+
+def read_as_of(
+    spark: SparkSession, out_dir: str, table: str, snapshot_id: int
+) -> DataFrame:
+    """Time-travel read: the committed view of ``table`` as it stood when
+    ``snapshot_id`` was the latest commit (later appends invisible, later
+    replaces undone). Same broadcast-semi-join plan as read_committed —
+    the manifest filter changes, never the data layout. NOTE: only valid
+    for snapshots vacuum has not expired; vacuum physically drops rows
+    that are dead in the CURRENT view, which includes pre-replace rows a
+    historical view would still need (Iceberg's expire-snapshots
+    contract)."""
+    rows = spark.read.parquet(f"{out_dir}/{table}.parquet")
+    vp = valid_pairs(spark, out_dir, as_of=snapshot_id)
     if vp is None:
         return rows.limit(0)
     return rows.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")

@@ -255,3 +255,61 @@ def test_vacuum_drops_dead_rows(spark, tmp_path, clips_ready):
         metrics_after.sort_values(key).reset_index(drop=True),
     )
     finalize_metrics(spark, out)  # still works post-compaction
+
+
+def test_time_travel_read_as_of(spark, tmp_path, clips_ready):
+    """read_as_of(S): later appends invisible, later replaces undone —
+    the Iceberg snapshot-as-of contract over the parquet manifest."""
+    from qcflow.checkpoint import read_as_of, valid_pairs
+
+    out = str(tmp_path / "tt")
+    v1 = str(tmp_path / "tt_clips_v1")
+    clips = spark.read.parquet(CLIPS)
+    clips.filter(F.col("clip_id") < "clip-000000001500").write.parquet(v1)
+
+    run_resumable(spark, v1, out, n_buckets=N_BUCKETS)
+    s1 = int(
+        valid_pairs(spark, out).agg(F.max("snapshot_id")).collect()[0][0]
+    )
+    ids_s1 = sorted(
+        r["clip_id"]
+        for t in ("kept", "dropped")
+        for r in read_committed(spark, out, t).select("clip_id").collect()
+    )
+    assert len(ids_s1) == 1500
+
+    # append an increment, then replace one bucket with altered rows
+    process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    bucket = 3
+    fixed = str(tmp_path / "tt_fixed")
+    clips.withColumn(
+        "transcript", F.concat(F.lit("edited "), F.col("transcript"))
+    ).write.parquet(fixed)
+    merge_replace_buckets(spark, fixed, out, [bucket], n_buckets=N_BUCKETS)
+
+    # current view: 2000 unique rows incl. the replaced bucket
+    now_ids = sorted(
+        r["clip_id"]
+        for t in ("kept", "dropped")
+        for r in read_committed(spark, out, t).select("clip_id").collect()
+    )
+    assert len(now_ids) == 2000
+
+    # as-of s1: exactly the first 1500 rows, later append + replace gone
+    tt_ids = sorted(
+        r["clip_id"]
+        for t in ("kept", "dropped")
+        for r in read_as_of(spark, out, t, s1).select("clip_id").collect()
+    )
+    assert tt_ids == ids_s1
+
+    # as-of the latest snapshot == the committed view
+    s_latest = int(
+        valid_pairs(spark, out).agg(F.max("snapshot_id")).collect()[0][0]
+    )
+    latest_ids = sorted(
+        r["clip_id"]
+        for t in ("kept", "dropped")
+        for r in read_as_of(spark, out, t, s_latest).select("clip_id").collect()
+    )
+    assert latest_ids == now_ids
