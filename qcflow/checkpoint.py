@@ -410,6 +410,25 @@ def _swap_in(tmp: str, live: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Snapshot history (Iceberg's ``table.history()``): one row per
+    snapshot with its kind, bucket count and row totals, newest first.
+    Manifest-sized — never touches kept/dropped data."""
+    lin = _read_lineage(spark, out_dir)
+    if lin is None:
+        return None
+    return (
+        lin.groupBy("snapshot_id", "kind")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_input").alias("n_input"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("n_dropped").alias("n_dropped"),
+        )
+        .orderBy(F.desc("snapshot_id"))
+    )
+
+
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
     """Physically expire dead state (crashed attempts, superseded
     snapshots): kept/dropped rewritten to the committed view, metric

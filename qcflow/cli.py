@@ -63,13 +63,31 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--check-acoustics", action="store_true")
     s.add_argument("--compact", action="store_true")
 
+    i = sub.add_parser(
+        "inspect", help="manifest summary: snapshot history + committed counts"
+    )
+    i.add_argument("--out", required=True)
+    i.add_argument("--cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     from qcflow.session import get_spark
 
     spark = get_spark("qcflow-cli", cpus=args.cpus)
     t0 = time.time()
-    if args.cmd == "stream":
+    if args.cmd == "inspect":
+        from qcflow.checkpoint import snapshots, valid_pairs
+
+        snaps = snapshots(spark, args.out)
+        vp = valid_pairs(spark, args.out)
+        out = {
+            "cmd": "inspect",
+            "snapshots": [r.asDict() for r in snaps.collect()] if snaps is not None else [],
+            "committed_buckets": (
+                vp.select("bucket").distinct().count() if vp is not None else 0
+            ),
+        }
+    elif args.cmd == "stream":
         from qcflow.checkpoint import load_thresholds, save_thresholds
         from qcflow.pipeline import score_clips
         from qcflow.streaming import compact_stream_output, stream_score
