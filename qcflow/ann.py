@@ -60,6 +60,49 @@ def assign_clusters(
     )
 
 
+def farthest_first_init(
+    df: DataFrame, k: int, emb_col: str = "emb", id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic farthest-first traversal (Gonzalez): start from the
+    hash-minimal row, then repeatedly take the point maximizing its
+    distance to the chosen set. When the data is a mixture whose
+    inter-center separation exceeds every intra-cluster diameter, this
+    provably seeds each cluster exactly once (the classic 2-approximation
+    argument) — the property the construction-truth ANN oracle relies on.
+    Cost: k scalar-returning jobs; the driver only ever holds k x d."""
+    first = (
+        df.select(id_col, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("farthest_first_init: empty input")
+    cents = [np.array(first[0][emb_col], dtype=np.float64)]
+    for _ in range(k - 1):
+        mind = F.array_min(
+            F.array(
+                *[
+                    _sq_norm(F.col(emb_col)) + _sq_dist(emb_col, c)
+                    for c in cents
+                ]
+            )
+        )
+        r = (
+            df.select(id_col, emb_col, mind.alias("_d"))
+            .orderBy(F.desc("_d"), id_col)
+            .limit(1)
+            .collect()
+        )[0]
+        if r["_d"] <= 0.0:
+            raise ValueError(
+                f"farthest_first_init: fewer than k={k} distinct vectors"
+            )
+        cents.append(np.array(r[emb_col], dtype=np.float64))
+    return np.stack(cents)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -67,17 +110,51 @@ def kmeans_fit(
     id_col: str = "vec_id",
     n_iter: int = 10,
     tol: float = 1e-6,
+    init: str = "hash",
 ) -> np.ndarray:
     """Lloyd's k-means; returns the (k, d) codebook. ``df[emb_col]`` must
-    be array<double>. Deterministic given the data and id column."""
-    init = (
+    be array<double>. Deterministic given the data and id column.
+    ``init='farthest'`` uses the farthest-first traversal (one seed per
+    well-separated cluster, guaranteed); ``'hash'`` is the cheap default
+    (one job instead of k)."""
+    if init == "farthest":
+        centroids = farthest_first_init(df, k, emb_col=emb_col, id_col=id_col)
+        return _lloyd(df, centroids, emb_col, id_col, n_iter, tol)
+    init_rows = (
         df.select(id_col, emb_col)
         .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
         .orderBy("_h")
-        .limit(k)
+        .limit(4 * k)  # headroom so duplicate vectors can be skipped
         .collect()
     )
-    centroids = np.array([r[emb_col] for r in init], dtype=np.float64)
+    init = init_rows
+    # distinct seed vectors only: hash-colliding duplicate embeddings
+    # would seed coincident centroids that can never separate
+    seeds, seen = [], set()
+    for r in init:
+        key = tuple(r[emb_col])
+        if key not in seen:
+            seen.add(key)
+            seeds.append(r[emb_col])
+        if len(seeds) == k:
+            break
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit: need k={k} distinct vectors, input has "
+            f"{len(seeds)} among the first {len(init)} sampled rows"
+        )
+    centroids = np.array(seeds, dtype=np.float64)
+    return _lloyd(df, centroids, emb_col, id_col, n_iter, tol)
+
+
+def _lloyd(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str,
+    id_col: str,
+    n_iter: int,
+    tol: float,
+) -> np.ndarray:
     data = df.select(id_col, emb_col)
     for _ in range(n_iter):
         assigned = assign_clusters(data, centroids, emb_col=emb_col)

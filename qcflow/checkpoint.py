@@ -45,7 +45,14 @@ from qcflow.pipeline import (
     score_clips,
 )
 from qcflow.rules import Thresholds, derive_thresholds
-from qcflow.summary import cube_conf_histogram, cube_drop_reasons, cube_lineage, metrics_cube
+from qcflow.summary import (
+    cube_conf_histogram,
+    cube_drop_reasons,
+    cube_lineage,
+    metrics_cube,
+    ppl_bin_col,
+    quantile_metrics,
+)
 from qcflow.features import clip_features
 from qcflow.udfs import with_langid_ppl
 
@@ -142,12 +149,50 @@ def next_snapshot_id(spark: SparkSession, out_dir: str) -> int:
     return nxt
 
 
+# Committed-table schemas, for the empty view when a table directory is
+# missing or holds only a _SUCCESS marker (e.g. a corpus where nothing
+# was dropped: the empty-DataFrame append writes no data files, and
+# spark.read.parquet would fail with UNABLE_TO_INFER_SCHEMA). Must match
+# pipeline.KEEP_COLS / DROP_COLS + snapshot_id.
+_TABLE_SCHEMAS = {
+    "kept": (
+        "clip_id string, bucket int, sr_hz int, dur_ms int, codec string, "
+        "lang string, lang_conf double, perplexity double, "
+        "scrubbed_transcript string, snapshot_id long"
+    ),
+    "dropped": (
+        "clip_id string, bucket int, lang string, lang_conf double, "
+        "drop_reasons string, snapshot_id long"
+    ),
+}
+
+
+def _read_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Read a manifest data table; a never-written table (missing dir or
+    no data files) is a valid EMPTY committed view, not an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{out_dir}/{table}.parquet")
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            schema = _TABLE_SCHEMAS.get(table)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+        raise
+
+
 def read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     """Snapshot-isolated read of kept/dropped: rows whose (snapshot_id,
     bucket) pair is committed in the manifest. Dead rows from crashed
     attempts and pre-replace snapshots are invisible — the Iceberg
     read-path contract over plain parquet."""
-    rows = spark.read.parquet(f"{out_dir}/{table}.parquet")
+    rows = _read_table(spark, out_dir, table)
     vp = valid_pairs(spark, out_dir)
     if vp is None:
         return rows.limit(0)
@@ -165,7 +210,7 @@ def read_as_of(
     that are dead in the CURRENT view, which includes pre-replace rows a
     historical view would still need (Iceberg's expire-snapshots
     contract)."""
-    rows = spark.read.parquet(f"{out_dir}/{table}.parquet")
+    rows = _read_table(spark, out_dir, table)
     vp = valid_pairs(spark, out_dir, as_of=snapshot_id)
     if vp is None:
         return rows.limit(0)
@@ -206,6 +251,16 @@ def _write_attempt(
     cube_conf_histogram(cube, "bucket").select(
         snap, "bucket", "lang", "conf_bin", "n"
     ).write.mode("append").parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
+    # perplexity quantile-sketch partials: fixed log-edge histogram keyed
+    # by (snapshot, bucket) like the other partials — sum-mergeable, so
+    # per-lang p50/p99 never rescan history OR buffer a hot language's
+    # raw values on one reducer (the exact-percentile skew anti-pattern,
+    # BENCH/BASELINE.md 5.6x lesson)
+    scored.groupBy("bucket", "lang", ppl_bin_col().alias("ppl_bin")).agg(
+        F.count("*").alias("n")
+    ).select(snap, "bucket", "lang", "ppl_bin", "n").write.mode("append").parquet(
+        f"{out_dir}/metrics_ppl_hist_partials.parquet"
+    )
 
     lin = cube_lineage(cube)
     if all_buckets is not None:
@@ -292,11 +347,24 @@ def read_metrics(spark: SparkSession, out_dir: str, which: str) -> DataFrame:
     name, dims = {
         "drop_reasons": ("metrics_drop_reasons_partials", ["lang", "drop_reason"]),
         "lang_conf": ("metrics_lang_conf_partials", ["lang", "conf_bin"]),
+        "ppl_hist": ("metrics_ppl_hist_partials", ["lang", "ppl_bin"]),
     }[which]
     partials = spark.read.parquet(f"{out_dir}/{name}.parquet")
     if vp is not None:
         partials = partials.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
     return partials.groupBy(*dims).agg(F.sum("n").alias("n"))
+
+
+def read_quantile_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-lang quantile metrics from the committed partials: p50/p99 of
+    perplexity (log-edge sketch, metrics_ppl_hist_partials) and of
+    langid confidence (the existing 20-bin conf histogram). The plan
+    reads only partials + manifest; the quantile walk runs on
+    (lang x bins)-sized merged frames (summary.quantile_metrics)."""
+    return quantile_metrics(
+        read_metrics(spark, out_dir, "ppl_hist"),
+        read_metrics(spark, out_dir, "lang_conf"),
+    )
 
 
 def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
@@ -308,6 +376,10 @@ def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
     read_metrics(spark, out_dir, "lang_conf").write.mode("overwrite").parquet(
         f"{out_dir}/metrics_lang_conf.parquet"
     )
+    if os.path.exists(f"{out_dir}/metrics_ppl_hist_partials.parquet"):
+        read_quantile_metrics(spark, out_dir).write.mode("overwrite").parquet(
+            f"{out_dir}/metrics_quantiles.parquet"
+        )
 
 
 # --------------------------------------------------------------- increment
@@ -453,8 +525,14 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         _swap_in(tmp, f"{out_dir}/{table}.parquet")
     if vp is None:
         return stats
-    for name in ("metrics_drop_reasons_partials", "metrics_lang_conf_partials"):
+    for name in (
+        "metrics_drop_reasons_partials",
+        "metrics_lang_conf_partials",
+        "metrics_ppl_hist_partials",
+    ):
         path = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(path):
+            continue  # manifests from before this partials table existed
         live = (
             spark.read.parquet(path)
             .join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")

@@ -19,11 +19,14 @@ Scale notes (10^9-node pair graphs):
   a durable dir instead.
 - The per-iteration driver round-trip is ONE aggregated long (count of
   changed labels) — loop control, not data movement.
-- For power-law graphs with giant components the textbook upgrade is
-  large-star/small-star (Kiveris et al., "Connected Components in
-  MapReduce and Beyond", SoCC'14), which bounds iterations by
-  O(log^2 n) regardless of diameter; hash-min is the right default for
-  dedup graphs where components are small and dense.
+- For high-diameter graphs (long chains of serially-edited near-dup
+  revisions) hash-min's O(diameter) rounds are the wrong tool:
+  ``connected_components`` auto-falls-back to the large-star/small-star
+  alternation (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14), which converges in O(log^2 n) rounds regardless of
+  diameter. Hash-min stays the default first attempt because dedup
+  graphs are usually quasi-cliques (diameter 2-4) and its per-round cost
+  is one join instead of two star passes.
 """
 
 from __future__ import annotations
@@ -82,16 +85,113 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # silent unconverged labels would split true components into
-        # several survivors — fail loudly instead (diameter > max_iter,
-        # e.g. a long chain of serially-edited near-dup revisions)
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            "iterations (graph diameter too large); raise max_iter or "
-            "switch to large-star/small-star for this graph"
+        # diameter > max_iter (e.g. a long chain of serially-edited
+        # near-dup revisions): silent unconverged labels would split true
+        # components into several survivors. Fall back to the
+        # O(log^2 n)-round star alternation, whose convergence does not
+        # depend on diameter (SoCC'14).
+        import warnings
+
+        warnings.warn(
+            f"hash-min did not converge in {max_iter} iterations "
+            "(graph diameter too large); falling back to "
+            "large-star/small-star",
+            stacklevel=2,
         )
+        labels.unpersist()
+        sym.unpersist()
+        return connected_components_stars(edges, src=src, dst=dst)
     sym.unpersist()
     return labels
+
+
+def _star_round_stats(e: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set (count + hash-XOR —
+    XOR never overflows under ANSI mode and the set is distinct, so
+    cancellation cannot collide): two scalars per round is the only
+    driver traffic."""
+    r = e.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+    ).collect()[0]
+    return int(r["n"] or 0), int(r["h"] or 0)
+
+
+def connected_components_stars(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 §3): converges in O(log^2 n) rounds independent of graph
+    diameter — the high-diameter fallback for ``connected_components``.
+
+    Each operation is one groupBy (per-node neighborhood minimum) plus
+    one hash join — shuffles on 8-byte keys only, no payload:
+    - large-star(u): every strictly-larger neighbor of u re-points to
+      m(u) = min(neighborhood(u) + {u});
+    - small-star(u): on edges oriented large->small, every neighbor and
+      u itself re-point to m(u).
+    The fixpoint is a star forest: every node's single out-edge targets
+    its component minimum. Same output contract as
+    ``connected_components``: (id, comp) for every vertex with an edge.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        # large-star on the symmetrized adjacency
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        mins = both.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e2 = (
+            both.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on edges oriented large -> small
+        oriented = e2.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        e3 = (
+            oriented.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(mins2.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _star_round_stats(e3)
+        e.unpersist()
+        e = e3
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_stars did not converge within "
+            f"{max_rounds} rounds"
+        )
+    # star forest -> labels: non-roots point at their component min;
+    # roots (appear only as dst) label themselves
+    non_roots = e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+    roots = e.select(F.col("dst").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    labels = non_roots.unionByName(roots).groupBy("id").agg(
+        F.min("comp").alias("comp")
+    )
+    return labels.localCheckpoint(eager=True)
 
 
 def resolve_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

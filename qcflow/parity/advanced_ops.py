@@ -574,3 +574,50 @@ def x_ks_drift_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ks, "event_type string, ks double")
         .select("event_type", F.round("ks", 6).alias("ks"))
     )
+
+
+_HQ_W = 64  # fixed bin width over n_chars (integer arithmetic: exact twin)
+
+
+@query(
+    "x_hist_quantile_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, CAST(n_chars // {_HQ_W} AS BIGINT) AS bin, COUNT(*) AS n
+      FROM documents GROUP BY lang, bin
+    ),
+    c AS (
+      SELECT lang, bin,
+             SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS total
+      FROM h
+    )
+    SELECT lang,
+           CAST((MIN(CASE WHEN cum >= (total * 50 + 99) // 100 THEN bin END) + 1)
+                * {_HQ_W} AS BIGINT) AS p50_chars,
+           CAST((MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END) + 1)
+                * {_HQ_W} AS BIGINT) AS p99_chars
+    FROM c GROUP BY lang
+    """,
+)
+def x_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles via mergeable fixed-edge histogram partials —
+    the production metrics-cube shape (qcflow/summary.hist_quantiles,
+    qcflow/checkpoint.read_quantile_metrics): the raw-row pass is a
+    map-side-combinable histogram count, and the quantile walk runs on
+    the (group x bins)-sized merged frame. This replaces exact per-group
+    percentile, whose hot-group buffer is the measured 5.6x skew victim
+    (BENCH/BASELINE.md). Integer bin/target arithmetic keeps the DuckDB
+    twin exact."""
+    from qcflow.summary import hist_quantiles
+
+    docs = t(spark, sf_dir, "documents")
+    h = docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / _HQ_W).alias("bin")
+    ).agg(F.count("*").alias("n"))
+    q = hist_quantiles(h, ["lang"], [50, 99])
+    return q.select(
+        "lang",
+        ((F.col("p50_bin") + 1) * _HQ_W).alias("p50_chars"),
+        ((F.col("p99_bin") + 1) * _HQ_W).alias("p99_chars"),
+    )

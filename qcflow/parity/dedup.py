@@ -249,8 +249,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF) -> 16 bands of 4 -> self-join per band bucket -> distinct
     candidate pairs -> exact Jaccard filter >= 0.7. The oracle is the exact
     pairwise Jaccard; LSH with these parameters has recall ~1 above 0.7
-    (miss prob (1-j^4)^16 < 1e-7 at j=0.9). At scale the band join shuffles
-    only (band_id, 8-byte bucket) keys; the O(n^2) space is never formed."""
+    (miss prob (1-j^4)^16 < 1e-7 at j=0.9).
+
+    Scale discipline: the band self-join carries ONLY (doc_id, band,
+    bucket) — never the shingle arrays. A payload-carrying band join
+    would ship every document's shingle set through the 16-way explode
+    and the self-join shuffle (corpus-sized wire traffic); instead the
+    deduped candidate pairs re-join ``shingles`` by doc_id (two slim hash
+    joins) for the exact-Jaccard verify. tests/test_plans.py pins that no
+    array column crosses the band-join Exchange. The O(n^2) pair space is
+    never formed."""
     shingled = _with_shingles(_corpus_near(spark, sf_dir)).select(
         "doc_id", "shingles"
     )
@@ -266,11 +274,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_MH_K)
     ]
     sigs = shingled.withColumn("hs", hs).select(
-        "doc_id", "shingles", F.array(*sig_cols).alias("sig")
+        "doc_id", F.array(*sig_cols).alias("sig")
     )
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -290,7 +297,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -302,10 +309,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # re-attach shingle sets to the (deduped, candidate-sized) pair list
+    cand = cand.join(
+        shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

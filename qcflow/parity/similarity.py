@@ -13,6 +13,8 @@ the actual ANN outputs, not a tolerance band.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -260,24 +262,146 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------- IVF ANN
 
-@query("ann_ivf_trained", oracle=None)  # iterative Lloyd's — not SQL-expressible
+# ------------------------------------------- trained-IVF construction truth
+#
+# The iterative Lloyd fixpoint has no SQL twin, so the oracle uses the
+# repo's construction-truth pattern (parity/audio_q.py): a fixture corpus
+# built as a mixture of 8 well-separated Gaussian clusters, with the true
+# cluster label and the exact top-k neighbor list planted as truth
+# columns at build time. DuckDB reads ONLY the truth; Spark must recover
+# it THROUGH the full distributed path (farthest-first seeding -> Lloyd
+# iterations -> inverted lists -> nprobe=2 -> exact rerank). Construction
+# margins make recovery provable: inter-center distance 10*sqrt(2) vs
+# intra-cluster diameter < 1.5, so farthest-first seeds every cluster
+# exactly once (Gonzalez), one Lloyd step reaches the true partition, the
+# query's own list holds its entire cluster, and every cross-cluster
+# cosine (~0.01) is far below the intra-cluster top-k (~0.999). The truth
+# cosines use the SAME sequential left-fold double arithmetic as
+# qcflow/ann._dot, so the hash gate is exact, not a tolerance band.
+
+_AT_K = 8  # mixture components
+_AT_D = 16
+_AT_PER = 100  # rows per component (vec_id i -> cluster i % _AT_K)
+_AT_NQ = 16  # first 2 rows of each component are queries
+_AT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_ivf",
+)
+_AT_VEC = os.path.join(_AT_DIR, "vectors_v1.parquet")
+_AT_TRUTH = os.path.join(_AT_DIR, "truth_topk_v1.parquet")
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _round_half_up4(v: float) -> float:
+    """Spark's ROUND(double, 4): HALF_UP on the shortest decimal repr
+    (java BigDecimal.valueOf semantics) — NOT Python banker's round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _materialize_ann_truth() -> None:
+    if os.path.exists(_AT_VEC) and os.path.exists(_AT_TRUTH):
+        return
+    import math
+
+    import pandas as pd
+
+    os.makedirs(_AT_DIR, exist_ok=True)
+    rng = np.random.default_rng(31415)
+    centers = np.zeros((_AT_K, _AT_D))
+    for c in range(_AT_K):
+        centers[c, 2 * c] = 10.0
+    n = _AT_K * _AT_PER
+    emb = np.round(
+        centers[np.arange(n) % _AT_K] + rng.normal(0.0, 0.1, (n, _AT_D)), 6
+    )
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "emb": [row.tolist() for row in emb],
+            "true_cluster": (np.arange(n) % _AT_K).astype(np.int64),
+        }
+    ).to_parquet(_AT_VEC, index=False)
+
+    norms = [math.sqrt(_seq_dot(e, e)) for e in emb]
+    truth = []
+    for q in range(_AT_NQ):
+        cl = q % _AT_K
+        cands = [i for i in range(n) if i % _AT_K == cl and i != q]
+        scored = [
+            (i, _seq_dot(emb[q], emb[i]) / (norms[q] * norms[i])) for i in cands
+        ]
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for nb, cos in scored[:TOP_K]:
+            truth.append(
+                {
+                    "query_id": np.int64(q),
+                    "neighbor_id": np.int64(nb),
+                    "cosine": _round_half_up4(cos),
+                }
+            )
+    pd.DataFrame(truth).to_parquet(_AT_TRUTH, index=False)
+
+
+_materialize_ann_truth()
+
+
+@query(
+    "ann_ivf_trained",
+    oracle=f"SELECT query_id, neighbor_id, cosine FROM '{_AT_TRUTH}'",
+)
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production IVF ANN: the codebook is TRAINED with distributed
     Lloyd's k-means (qcflow/ann.py — assignment is one codegen'd
     projection, the update one (cluster, dim)-keyed groupBy whose
-    map-side partials reduce to a k x d codebook per iteration), then
-    queries probe their 2 nearest trained lists and rerank exactly.
-    Driver gate is rows-only (iterative fixpoint has no SQL twin);
-    recall vs the exact baseline is pinned in tests/test_ann_kmeans.py
-    and tests/test_ann_recall.py."""
+    map-side partials reduce to a k x d codebook per iteration; seeding
+    is the farthest-first traversal, k scalar jobs), then queries probe
+    their 2 nearest trained lists and rerank exactly. Hash-gated against
+    the construction-truth top-k planted in the fixture (see module
+    comment); recall vs the exact baseline is additionally pinned in
+    tests/test_ann_kmeans.py and tests/test_ann_recall.py."""
     from qcflow.ann import ivf_topk, kmeans_fit
 
-    emb = _emb_double(t(spark, sf_dir, "embeddings"))
-    codebook = kmeans_fit(emb, k=8, id_col="vec_id", n_iter=4)
-    qs = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = ivf_topk(emb, qs, codebook, k=TOP_K, nprobe=2, id_col="vec_id")
+    _materialize_ann_truth()
+    vec = spark.read.parquet(_AT_VEC).select("vec_id", "emb")
+    codebook = kmeans_fit(vec, k=_AT_K, id_col="vec_id", n_iter=4, init="farthest")
+    qs = vec.filter(F.col("vec_id") < _AT_NQ)
+    out = ivf_topk(vec, qs, codebook, k=TOP_K, nprobe=2, id_col="vec_id")
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@query(
+    "ann_kmeans_assign",
+    oracle=f"SELECT vec_id, true_cluster AS cluster_rep FROM '{_AT_VEC}'",
+)
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-invariant gate on the trained k-means PARTITION itself:
+    every vector tagged with the minimum vec_id of its trained cluster.
+    Trained labels are an arbitrary permutation of the truth, but the
+    min-id representative is permutation-free — and the fixture's
+    construction (vec_id i belongs to component i % k, so ids 0..k-1 are
+    the per-component minima) makes the truth column literally
+    ``true_cluster``. Exact equality means Lloyd's recovered the planted
+    mixture perfectly through the distributed path."""
+    from qcflow.ann import assign_clusters, kmeans_fit
+
+    _materialize_ann_truth()
+    vec = spark.read.parquet(_AT_VEC).select("vec_id", "emb")
+    codebook = kmeans_fit(vec, k=_AT_K, id_col="vec_id", n_iter=4, init="farthest")
+    assigned = assign_clusters(vec, codebook)
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id", F.min("vec_id").over(w).alias("cluster_rep")
     )
 
 

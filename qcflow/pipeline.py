@@ -47,6 +47,8 @@ from qcflow.summary import (
     cube_drop_reasons,
     cube_lineage,
     metrics_cube,
+    ppl_bin_col,
+    quantile_metrics,
 )
 from qcflow.udfs import with_langid_ppl
 
@@ -84,11 +86,48 @@ def score_clips(
     check_acoustics: bool = False,
     n_buckets: int = N_BUCKETS,
     thresholds: Thresholds | None = None,
+    slim_stage: bool = True,
 ) -> QcResult:
     """Run features + models + rules + scrub; returns the scored frame
     (persisted) and the derived thresholds. ``check_acoustics`` adds the
     decoded-PCM feature stage (clip/silence/DC rules) — one extra Arrow
-    crossing that reads the bytes column."""
+    crossing that reads the bytes column.
+
+    ``slim_stage`` (acoustic path): stage only (clip_id, decode-derived
+    columns) to parquet and hash-join them back onto the narrow
+    text/model frame, instead of staging the FULL scored frame through
+    the (shared, variance-prone) vdisk. The decode output is 8 doubles a
+    row vs the full frame's transcripts + every feature — the staging
+    write that dominated the acoustic stage's 309-1702 clips/s spread
+    shrinks ~20x (A/B measured in one session, BENCH/BASELINE.md)."""
+    if check_acoustics and not check_pcm and slim_stage:
+        from qcflow.udfs import AUDIO_FEATURE_COLS, with_audio_features
+
+        import tempfile
+
+        # decode pass: bytes never leave the scan stage; only the derived
+        # acoustic columns are staged
+        dec = with_audio_features(
+            clips.select("clip_id", "bytes", "codec", "sr_hz")
+        ).select("clip_id", *AUDIO_FEATURE_COLS)
+        stage_dir = tempfile.mkdtemp(prefix="qcflow_stage_")
+        dec.write.mode("overwrite").parquet(f"{stage_dir}/acoustic.parquet")
+        dec_r = spark.read.parquet(f"{stage_dir}/acoustic.parquet")
+
+        narrow = clips.drop("bytes").withColumn("bucket", bucket_col(n_buckets))
+        narrow = with_langid_ppl(clip_features(narrow), spark)
+        df = narrow.join(dec_r, "clip_id")
+        # the joined frame feeds threshold derivation AND the rule pass —
+        # persist it (narrow columns only; the expensive decode is
+        # already materialized in the staging table)
+        df = cached = df.persist()
+        thr = thresholds or derive_thresholds(df, exact=exact_thresholds)
+        flagged = scrub(
+            apply_rules(df, thr, extra_rules=list(acoustic_rule_conditions()))
+        )
+        return QcResult(
+            scored=flagged, thresholds=thr, _cached=cached, _stage_dir=stage_dir
+        )
     df = clips.withColumn("bucket", bucket_col(n_buckets))
     if check_acoustics:
         # decode crossing while bytes are still in the plan
@@ -188,6 +227,18 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     cube_conf_histogram(cube, "bucket").select(
         snap, "bucket", "lang", "conf_bin", "n"
     ).write.mode(mode).parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
+    ppl_hist = (
+        scored.groupBy("bucket", "lang", ppl_bin_col().alias("ppl_bin"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n").write.mode(mode).parquet(
+        f"{out_dir}/metrics_ppl_hist_partials.parquet"
+    )
+    quantile_metrics(
+        ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
+        cube_conf_histogram(cube),
+    ).write.mode(mode).parquet(f"{out_dir}/metrics_quantiles.parquet")
     lin = cube_lineage(cube).select(
         F.lit(0).cast("long").alias("snapshot_id"),
         F.lit("append").alias("kind"),

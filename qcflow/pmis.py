@@ -211,13 +211,59 @@ def traffic_pivot(matched: DataFrame) -> DataFrame:
     )
 
 
+# pd.cut twins of the reference's fixed bin tables (H:623-624): right-
+# closed intervals (lo, hi], out-of-range -> NULL, with a numeric bin
+# index carried for ordering (SURVEY §1.2: categorical order is an
+# explicit sort-key column in Spark).
+SPEED_AVG_EDGES = [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+SPEED_AVG_LABELS = [f"{e}-{e + 10}" for e in SPEED_AVG_EDGES[:-1]]
+_INF = float("inf")
+SPEED_DIFF_EDGES = [-_INF, -40, -30, -20, -10, 0, 10, 20, 30, 40, _INF]
+SPEED_DIFF_LABELS = [
+    "<-40", "-40-30", "-30-20", "-20-10", "-10-0",
+    "0-10", "10-20", "20-30", "30-40", ">40",
+]
+
+
+def _cut(c, edges: list[float], labels: list[str]):
+    """pd.cut twin: (label, bin_idx) columns; NULL outside the edges."""
+    lab = F.lit(None).cast("string")
+    idx = F.lit(None).cast("int")
+    for i, name in enumerate(labels):
+        cond = (c > F.lit(edges[i])) & (c <= F.lit(edges[i + 1]))
+        lab = F.when(cond, F.lit(name)).otherwise(lab)
+        idx = F.when(cond, F.lit(i)).otherwise(idx)
+    return lab, idx
+
+
+def with_speed_bins(matched: DataFrame) -> DataFrame:
+    """A6 binning for the speed breakdowns (H:626-630): cycle-a average
+    speed into fixed 10 mph bins, cycle speed difference into signed
+    bins."""
+    avg_lab, avg_idx = _cut(F.col("avg_speed_a"), SPEED_AVG_EDGES, SPEED_AVG_LABELS)
+    d = F.col("avg_speed_a") - F.col("avg_speed_b")
+    diff_lab, diff_idx = _cut(d, SPEED_DIFF_EDGES, SPEED_DIFF_LABELS)
+    return (
+        matched.withColumn("avg_speed_bin", avg_lab)
+        .withColumn("avg_speed_bin_idx", avg_idx)
+        .withColumn("speed_diff_bin", diff_lab)
+        .withColumn("speed_diff_bin_idx", diff_idx)
+    )
+
+
 def outlier_breakdowns(
     flagged: DataFrame, dims: list[str] | None = None
 ) -> dict[str, DataFrame]:
-    """H:445-904: the 12-dimension breakdown pass as one parameterized
-    kernel (qcflow.summary.breakdown)."""
+    """H:445-904: the breakdown pass as one parameterized kernel
+    (qcflow.summary.breakdown), now including the reference's BINNED
+    dimensions by default: avg-speed bins + speed-diff bins (bin first,
+    then the A4 kernel, bin-index ordered — H:623-660) and the raw
+    time-gap-days dimension sorted by outlier count (H:713-723). Rows
+    whose value falls outside the bin edges (NULL bin) are excluded,
+    matching pd.cut's NaN-group drop."""
     from qcflow.summary import breakdown
 
+    flagged = with_speed_bins(flagged)
     dims = dims or [
         "county",
         "hwy_id",
@@ -225,6 +271,25 @@ def outlier_breakdowns(
         "direction_a",
         "vehicle_id_a",
         "traffic_level_a",
+        "avg_speed_bin",
+        "speed_diff_bin",
+        "time_gap_days",
     ]
     outliers = flagged.filter(F.col("flag") == 1)
-    return {d: breakdown(outliers, flagged, d, weight="section_length") for d in dims}
+    out = {}
+    for d in dims:
+        if d in ("avg_speed_bin", "speed_diff_bin"):
+            b = breakdown(
+                outliers.filter(F.col(d).isNotNull()),
+                flagged.filter(F.col(d).isNotNull()),
+                [d, f"{d}_idx"],
+                weight="section_length",
+            ).orderBy(f"{d}_idx")
+        elif d == "time_gap_days":
+            b = breakdown(outliers, flagged, d, weight="section_length").orderBy(
+                F.desc("count_out")
+            )
+        else:
+            b = breakdown(outliers, flagged, d, weight="section_length")
+        out[d] = b
+    return out

@@ -61,6 +61,7 @@ def stream_score(
     max_files_per_trigger: int = 8,
     dedup_within: str | None = None,
     check_acoustics: bool = False,
+    _inject_fail_batch: int | None = None,
 ) -> StreamingQuery:
     """File-source stream -> (optional watermarked dedup) -> QC score ->
     exactly-once parquet appends. ``dedup_within`` (e.g. "10 minutes")
@@ -118,6 +119,13 @@ def stream_score(
             .partitionBy("batch_id", "bucket")
             .parquet(f"{out_dir}/dropped.parquet")
         )
+        if _inject_fail_batch is not None and batch_id == _inject_fail_batch:
+            # test hook (like run_resumable's max_buckets): die in the
+            # at-least-once window — data partitions appended, batch
+            # bookkeeping (lineage + checkpoint offset commit) not yet
+            raise RuntimeError(
+                f"injected crash after data append of batch {batch_id}"
+            )
         (
             batch.groupBy("batch_id", "bucket")
             .agg(
@@ -189,6 +197,17 @@ def compact_stream_output(
         if os.path.exists(f"{staging}/_fold_manifest.json"):
             _finish_fold(path)  # complete an interrupted phase 2 first
         shutil.rmtree(staging, ignore_errors=True)  # pre-manifest garbage
+
+        # zero-batch rerun (scheduled drain before any files landed): the
+        # table directory does not exist yet — nothing to fold, and
+        # spark.read.parquet would raise PATH_NOT_FOUND
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
+        ):
+            stats[table] = 0
+            continue
 
         df = spark.read.parquet(path)
         ids = sorted(

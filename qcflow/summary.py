@@ -7,7 +7,7 @@ plus the pivot / fixed-bin histogram / ECDF helpers the render pass uses.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -110,6 +110,79 @@ def cube_lineage(cube: DataFrame) -> DataFrame:
         F.sum("n_kept").alias("n_kept"),
         (F.sum("n") - F.sum("n_kept")).alias("n_dropped"),
     )
+
+
+PPL_BINS_PER_OCTAVE = 8  # log2-scale bins: relative error <= 2^(1/8)-1 ~ 9%
+
+
+def ppl_bin_col(col: str = "perplexity") -> Column:
+    """Log-scale perplexity bin — the mergeable-sketch key for quantile
+    partials. Fixed edges make per-(snapshot, bucket) histograms
+    sum-combinable by construction; NULL perplexity maps to bin NULL and
+    is excluded from quantile mass."""
+    return F.floor(
+        F.log2(F.greatest(F.col(col), F.lit(1e-9))) * PPL_BINS_PER_OCTAVE
+    ).cast("int")
+
+
+def ppl_bin_upper(bin_col: Column) -> Column:
+    """Upper edge of a log-scale perplexity bin (the quantile estimate)."""
+    return F.pow(F.lit(2.0), (bin_col + 1).cast("double") / PPL_BINS_PER_OCTAVE)
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    dims: list[str],
+    pcts: list[int],
+    bin_col: str = "bin",
+    n_col: str = "n",
+) -> DataFrame:
+    """Quantile extraction from merged fixed-edge histogram partials:
+    per ``dims`` group, the smallest bin whose cumulative count reaches
+    ceil(pct * total / 100) — integer target arithmetic so both engines
+    agree exactly. Output columns ``p{pct}_bin``.
+
+    This is the production-safe shape for per-group percentiles at scale
+    (BENCH/BASELINE.md skew lesson, 5.6x): the raw-row aggregation is a
+    map-side-combinable histogram count, and the ordering window runs on
+    the AGGREGATED frame (bins-per-group rows, bounded), never buffering
+    a hot group's raw values on one reducer the way exact per-group
+    percentile does."""
+    w_cum = Window.partitionBy(*dims).orderBy(bin_col)
+    w_all = Window.partitionBy(*dims)
+    rows = hist.filter(F.col(bin_col).isNotNull()).select(
+        *dims,
+        bin_col,
+        F.sum(n_col).over(w_cum).alias("_cum"),
+        F.sum(n_col).over(w_all).alias("_total"),
+    )
+    aggs = []
+    for p in pcts:
+        target = F.floor((F.col("_total") * p + 99) / 100)  # ceil(total*p/100)
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col(bin_col))).alias(
+                f"p{p}_bin"
+            )
+        )
+    return rows.groupBy(*dims).agg(*aggs)
+
+
+def quantile_metrics(ppl_hist: DataFrame, conf_hist: DataFrame) -> DataFrame:
+    """Per-lang p50/p99 of perplexity (log-edge bins -> upper-edge value)
+    and langid confidence (CONF_BINS fixed bins) from merged histogram
+    frames (lang, ppl_bin|conf_bin, n). Shared by the incremental reader
+    (checkpoint.read_quantile_metrics) and the one-shot writer."""
+    ppl = hist_quantiles(ppl_hist, ["lang"], [50, 99], bin_col="ppl_bin").select(
+        "lang",
+        ppl_bin_upper(F.col("p50_bin")).alias("ppl_p50"),
+        ppl_bin_upper(F.col("p99_bin")).alias("ppl_p99"),
+    )
+    conf = hist_quantiles(conf_hist, ["lang"], [50, 99], bin_col="conf_bin").select(
+        "lang",
+        ((F.col("p50_bin") + 1) / CONF_BINS).alias("conf_p50"),
+        ((F.col("p99_bin") + 1) / CONF_BINS).alias("conf_p99"),
+    )
+    return ppl.join(conf, "lang", "full")
 
 
 def conf_histogram(scored: DataFrame, *extra_dims: str, n_bins: int = 20) -> DataFrame:

@@ -258,6 +258,18 @@ def spectral_flatness(x32: np.ndarray) -> float:
     return float(np.exp(np.log(ms + 1e-12).mean()) / (ms.mean() + 1e-12))
 
 
+AUDIO_FEATURE_COLS = [
+    "ac_n_samples",
+    "ac_rms",
+    "ac_peak",
+    "clip_ratio",
+    "silence_ratio",
+    "zcr",
+    "dc_offset",
+    "spectral_flatness",
+]
+
+
 def with_audio_features(df: DataFrame) -> DataFrame:
     """Acoustic QC features from the decoded PCM, one Arrow crossing:
 
@@ -326,17 +338,7 @@ def with_audio_features(df: DataFrame) -> DataFrame:
             yield out
 
     out = df.withColumn("_a", _udf(F.struct("bytes", "codec", "sr_hz")))
-    feats = [
-        "ac_n_samples",
-        "ac_rms",
-        "ac_peak",
-        "clip_ratio",
-        "silence_ratio",
-        "zcr",
-        "dc_offset",
-        "spectral_flatness",
-    ]
-    out = out.select("*", *[f"_a.{c}" for c in feats]).drop("_a")
+    out = out.select("*", *[f"_a.{c}" for c in AUDIO_FEATURE_COLS]).drop("_a")
     # -1 marks "undecodable" inside the Arrow frame (long has no NaN);
     # surface it as NULL like every other unavailable feature
     return out.withColumn(

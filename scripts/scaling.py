@@ -170,9 +170,39 @@ def main() -> int:
         "scaling_efficiency": round(eff, 3),
         "median_efficiency": round(median_eff, 3),
         "target": 0.8,
-        "pass": eff >= 0.8,
+        # gate on the MEDIAN: max of a noisy ratio is upward-biased (a
+        # slow local[4] leg paired with a fast local[16] leg inflates eff
+        # even under identical host conditions), so a lucky round could
+        # flip the gate. The best pair stays the disclosed capability
+        # number; the gate requires the typical round to clear too.
+        "pass": median_eff >= 0.8,
+        "pass_best": eff >= 0.8,
     }
 
+    ab_section = ""
+    ab_path = f"{REPO}/BENCH/ab_stage_slim.json"
+    if os.path.exists(ab_path):
+        with open(ab_path) as abf:
+            ab = json.load(abf)
+        sess = "; ".join(
+            f"{s['host']}: full {s['full_secs']} s vs slim {s['slim_secs']} s"
+            f" (slim {s['speedup_slim']}x)"
+            for s in ab["sessions"]
+        )
+        ab_section = f"""
+## Acoustic staging layout A/B (round 3, interleaved in-session pairs, {ab['rows']} clips)
+
+Full-frame staging (r2 layout: transcripts + every feature through the
+parquet staging table) vs slim staging (only clip_id + 8 acoustic
+doubles staged, hash-joined back onto the narrow text/model frame —
+score_clips slim_stage). Each session interleaves A/B/A/B under the
+same host conditions (variance lesson). Measured: {sess}.
+Winner: {ab['winner']} — {ab['rationale']}. Identical kept sets
+asserted within every A/B (with SHARED thresholds: percentile_approx
+sketch merges are partition-layout-sensitive, so per-variant threshold
+derivation would differ by boundary rows — caught by the A/B harness,
+pinned in tests/test_qc_pipeline.py::test_slim_stage_equals_full_stage).
+"""
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -275,6 +305,7 @@ by the staging write on the shared vdisk, not compute (bench.py keys
 clips_per_sec / pcm_clips_per_sec / acoustic_clips_per_sec, cooled
 box).
 
+{ab_section}
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 
 - Rank-filtered per-group top-k is ALREADY de-skewed by Spark 4's
@@ -289,6 +320,13 @@ box).
   combinable partials): 7.7s -> 1.6s (~5x at 4M rows; unbounded gap at
   scale since the exact buffer grows with the hot key while the sketch
   stays KLL-sized). Bench keys: skew_plang_p99_exact / _sketch.
+- Round 3 adopts the sketch shape in the PRODUCTION metrics path:
+  per-lang p50/p99 perplexity + langid-confidence quantiles computed
+  from mergeable fixed-edge histogram PARTIALS keyed by (snapshot,
+  bucket) — incremental like every other metric, never rescanning
+  history, never buffering a hot language's raw values
+  (checkpoint.read_quantile_metrics; exact DuckDB twin
+  x_hist_quantile_sketch).
 """
         )
     print(json.dumps(summary))

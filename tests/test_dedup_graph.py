@@ -69,3 +69,51 @@ def test_hot_shingle_df_cap_bounds_candidates(spark):
     assert uncapped.count() == 4950
     capped = _jaccard_pairs(docs, thr=0.0001, df_cap=50)
     assert capped.count() == 0
+
+
+def test_stars_known_graph(spark):
+    """Direct large-star/small-star run on the same mixed fixture."""
+    from qcflow.graph import connected_components_stars
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components_stars(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_high_diameter_chain_falls_back_to_stars(spark):
+    """A 60-node path (diameter 59 > hash-min's max_iter) — the serial-
+    edit-chain shape VERDICT r2 flagged. connected_components must fall
+    back to the SoCC'14 star alternation and still resolve the single
+    component exactly. Node ids are scrambled so the chain order carries
+    no information (min id sits mid-chain)."""
+    import warnings
+
+    import numpy as np
+
+    n = 60
+    perm = np.random.default_rng(7).permutation(n) * 17 + 3
+    chain = [(int(perm[i]), int(perm[i + 1])) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iter=10).collect()
+        assert any("falling back" in str(x.message) for x in w)
+    comp = {r["comp"] for r in labels}
+    assert comp == {int(perm.min())}
+    assert {r["id"] for r in labels} == {int(v) for v in perm}
+    # two-cluster variant: chain + separate triangle keeps components apart
+    edges2 = spark.createDataFrame(
+        chain + [(100000, 100001), (100001, 100002), (100000, 100002)],
+        "src long, dst long",
+    )
+    from qcflow.graph import connected_components_stars
+
+    labels2 = connected_components_stars(edges2).collect()
+    comps = {}
+    for r in labels2:
+        comps.setdefault(r["comp"], set()).add(r["id"])
+    assert set(comps) == {int(perm.min()), 100000}
+    assert comps[100000] == {100000, 100001, 100002}

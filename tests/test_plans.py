@@ -193,3 +193,25 @@ def test_quota_sample_uses_window_group_limit(spark):
     (the hot group ships k rows per map task, not its whole share)."""
     p = plan_of(QUERIES["x_quota_sample"](spark, SF))
     assert "WindowGroupLimit" in p
+
+
+def test_minhash_band_join_ships_no_arrays(spark):
+    """The MinHash-LSH band self-join must shuffle only (doc_id, band,
+    bucket). Carrying the shingle arrays through the 16-way band explode
+    and the self-join Exchange would make the candidate shuffle
+    corpus-sized at 100 TB; the exact-Jaccard verify re-joins shingles by
+    doc_id AFTER pair dedup instead. Gate: no Exchange keyed on the band
+    bucket carries an array-typed column."""
+    p = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    # formatted mode: detail sections per node, separated by blank lines
+    sections = p.split("\n\n")
+    band_exchanges = [
+        s
+        for s in sections
+        if ("Exchange" in s.split("\n", 1)[0])
+        and ("band#" in s and "bucket#" in s)
+    ]
+    assert band_exchanges, "band-join Exchange not found in plan"
+    for s in band_exchanges:
+        for banned in ("shingles", "sh_a", "sh_b", "sig#", "toks#", "hs#"):
+            assert banned not in s, f"array payload crosses band Exchange: {s}"

@@ -156,3 +156,66 @@ def test_summaries_run(matched):
     cb = bds["county"].toPandas()
     assert (cb.count_out <= cb.count_all).all()
     assert (cb.pct_out <= 100.0).all()
+
+def test_binned_breakdowns_match_pandas(frames, matched):
+    """The new default binned dimensions (H:623-660 speed bins, H:713-723
+    time gap): pd.cut + groupby twin equality, bin-index ordering."""
+    a, b, _, _ = frames
+    thr = pmis.derive_pmis_thresholds(matched, "audit_percentile")
+    flagged = pmis.flag_outliers(matched, thr, "audit")
+    bds = pmis.outlier_breakdowns(flagged)
+
+    wantm = pandas_pair_match(a, b)
+    wthr = pandas_thresholds(wantm, "audit_percentile")
+    wantm = wantm.assign(flag=pandas_flags(wantm, wthr, "audit"))
+
+    # avg-speed bins (right-closed pd.cut, NaN bins dropped)
+    wantm["avg_speed_bin"] = pd.cut(
+        wantm["avg_speed_a"],
+        bins=pmis.SPEED_AVG_EDGES,
+        labels=pmis.SPEED_AVG_LABELS,
+    )
+    wantm["speed_diff_bin"] = pd.cut(
+        wantm["avg_speed_a"] - wantm["avg_speed_b"],
+        bins=pmis.SPEED_DIFF_EDGES,
+        labels=pmis.SPEED_DIFF_LABELS,
+    )
+    for dim in ("avg_speed_bin", "speed_diff_bin"):
+        got = bds[dim].toPandas()
+        w1 = (
+            wantm[wantm.flag == 1]
+            .groupby(dim, observed=True)
+            .agg(count_out=(dim, "count"), miles_out=("section_length", "sum"))
+            .reset_index()
+        )
+        w2 = (
+            wantm.groupby(dim, observed=True)
+            .agg(count_all=(dim, "count"))
+            .reset_index()
+        )
+        want = w1.merge(w2, how="left", on=dim)
+        want["pct_out"] = 100.0 * want.count_out / want.count_all
+        want = want[want.count_out > 0]
+        g = dict(zip(got[dim], zip(got.count_out, got.count_all)))
+        w = dict(zip(want[dim].astype(str), zip(want.count_out, want.count_all)))
+        assert g == w, dim
+        gm = dict(zip(got[dim], got.section_length_out))
+        wm = dict(zip(want[dim].astype(str), want.miles_out))
+        for k in gm:
+            assert gm[k] == pytest.approx(wm[k], rel=1e-9)
+        # bin-index ordering
+        idx = got[f"{dim}_idx"].tolist()
+        assert idx == sorted(idx)
+
+    # time-gap-days dimension, desc by outlier count
+    got = bds["time_gap_days"].toPandas()
+    w1 = (
+        wantm[wantm.flag == 1]
+        .groupby("time_gap_days")
+        .agg(count_out=("time_gap_days", "count"))
+        .reset_index()
+    )
+    g = dict(zip(got.time_gap_days, got.count_out))
+    w = dict(zip(w1.time_gap_days, w1.count_out))
+    assert g == w
+    assert got.count_out.tolist() == sorted(got.count_out.tolist(), reverse=True)

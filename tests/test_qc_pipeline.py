@@ -246,3 +246,33 @@ def test_snr_tolerates_foreign_rows(spark):
     assert np.isnan(out.loc["not-a-synthetic-id", "snr_db"])
     assert np.isnan(out.loc["clip-xyz", "snr_db"])
     assert out.loc["clip-000000000003", "snr_db"] > 60
+
+
+def test_slim_stage_equals_full_stage(spark, clips_dir):
+    """The two acoustic staging layouts (full scored frame through
+    parquet vs slim decode-columns + join-back) are pure physical-plan
+    choices: with FIXED thresholds the scored output must be identical.
+    (With approx-derived thresholds the layouts can differ by boundary
+    rows — percentile_approx sketch merges are partition-layout
+    sensitive — which is why score_clips derives thresholds from the
+    same frame it scores, and the A/B script shares one threshold set.)"""
+    from qcflow.rules import Thresholds
+
+    thr = Thresholds(repetition_lo=0.3, cps_lo=5.0, cps_hi=30.0, ppl_hi=50.0)
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
+    frames = {}
+    for slim in (False, True):
+        res = score_clips(
+            spark, clips, thresholds=thr, check_acoustics=True, slim_stage=slim
+        )
+        frames[slim] = (
+            res.scored.select(
+                "clip_id", "keep", "drop_reasons", "lang", "scrubbed_transcript",
+                "clip_ratio", "silence_ratio", "dc_offset",
+            )
+            .toPandas()
+            .sort_values("clip_id")
+            .reset_index(drop=True)
+        )
+        res.release()
+    pd.testing.assert_frame_equal(frames[False], frames[True])

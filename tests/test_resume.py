@@ -313,3 +313,87 @@ def test_time_travel_read_as_of(spark, tmp_path, clips_ready):
         for r in read_as_of(spark, out, t, s_latest).select("clip_id").collect()
     )
     assert latest_ids == now_ids
+
+
+def test_quantile_metrics_survive_increments(spark, tmp_path, clips_ready):
+    """Per-lang p50/p99 sketches (perplexity log-bins + conf bins) merge
+    across >=2 committed snapshots exactly: the partial-histogram merge
+    is lossless, so the incremental view equals a single-shot recompute
+    over the full input — and the read plan never scans the kept/dropped
+    history."""
+    from qcflow.checkpoint import load_thresholds, read_quantile_metrics
+    from qcflow.summary import conf_bin_col, hist_quantiles, ppl_bin_col, ppl_bin_upper
+
+    out = str(tmp_path / "qtiles")
+    v1 = str(tmp_path / "q_clips_v1")
+    clips = spark.read.parquet(CLIPS)
+    clips.filter(F.col("clip_id") < "clip-000000001500").write.parquet(v1)
+    run_resumable(spark, v1, out, n_buckets=N_BUCKETS)
+    process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
+
+    merged = read_quantile_metrics(spark, out).toPandas()
+    assert len(merged) > 0
+
+    # single-shot truth: same thresholds, full input, same sketch
+    res = score_clips(
+        spark, clips, thresholds=load_thresholds(out), n_buckets=N_BUCKETS
+    )
+    scored = res.scored
+    truth_ppl = hist_quantiles(
+        scored.groupBy("lang", ppl_bin_col().alias("ppl_bin")).agg(
+            F.count("*").alias("n")
+        ),
+        ["lang"],
+        [50, 99],
+        bin_col="ppl_bin",
+    ).select(
+        "lang",
+        ppl_bin_upper(F.col("p50_bin")).alias("ppl_p50"),
+        ppl_bin_upper(F.col("p99_bin")).alias("ppl_p99"),
+    ).toPandas()
+    truth_conf = hist_quantiles(
+        scored.groupBy("lang", conf_bin_col().alias("conf_bin")).agg(
+            F.count("*").alias("n")
+        ),
+        ["lang"],
+        [50, 99],
+        bin_col="conf_bin",
+    ).toPandas()
+    res.release()
+
+    m = merged.sort_values("lang").reset_index(drop=True)
+    tp = truth_ppl.sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m[["lang", "ppl_p50", "ppl_p99"]], tp)
+    from qcflow.summary import CONF_BINS
+
+    tc = truth_conf.sort_values("lang").reset_index(drop=True)
+    assert (m["conf_p50"].to_numpy() == ((tc["p50_bin"] + 1) / CONF_BINS).to_numpy()).all()
+    assert (m["conf_p99"].to_numpy() == ((tc["p99_bin"] + 1) / CONF_BINS).to_numpy()).all()
+
+    plan = read_quantile_metrics(spark, out)._jdf.queryExecution().toString()
+    assert "kept.parquet" not in plan and "dropped.parquet" not in plan
+
+
+def test_read_committed_missing_table_is_empty(spark, tmp_path, clips_ready):
+    """A committed manifest whose table was never materialized (e.g. a
+    corpus where nothing is dropped: the empty append leaves no data
+    files) must read as an EMPTY committed view with the documented
+    schema, not raise UNABLE_TO_INFER_SCHEMA (ADVICE r2)."""
+    import shutil
+
+    from qcflow.checkpoint import read_as_of
+
+    out = str(tmp_path / "notables")
+    v = str(tmp_path / "clips_few")
+    spark.read.parquet(CLIPS).limit(30).write.parquet(v)
+    run_resumable(spark, v, out, n_buckets=8)
+    shutil.rmtree(f"{out}/dropped.parquet")
+
+    empty = read_committed(spark, out, "dropped")
+    assert empty.count() == 0
+    assert set(empty.columns) == {
+        "clip_id", "bucket", "lang", "lang_conf", "drop_reasons", "snapshot_id",
+    }
+    assert read_as_of(spark, out, "dropped", 0).count() == 0
+    # kept view unaffected
+    assert read_committed(spark, out, "kept").count() > 0

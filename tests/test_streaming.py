@@ -221,3 +221,50 @@ def test_stream_acoustic_rules_drop_planted(spark, tmp_path):
         want = set(truth[truth.planted == reason]["clip_id"])
         got = set(dropped[dropped.drop_reasons.str.contains(reason)]["clip_id"])
         assert got == want, reason
+
+
+def test_partial_batch_crash_is_exactly_once(spark, stream_input, tmp_path):
+    """Crash INSIDE the at-least-once window (VERDICT r2 #6): the batch's
+    kept/dropped partitions are already appended but the lineage write and
+    the checkpoint offset commit never happen. The restart must re-run
+    that batch under the SAME batch_id, and the batch_id-partitioned
+    dynamic overwrite must swallow the orphaned partial — no duplicates,
+    no loss."""
+    out = str(tmp_path / "crash_out")
+    q = stream_score(
+        spark, stream_input, out, THR, max_files_per_trigger=2,
+        _inject_fail_batch=1,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    # the crash landed in the window: data exists for a batch_id that the
+    # lineage table does not know about
+    data_batches = set(
+        spark.read.parquet(f"{out}/kept.parquet")
+        .select("batch_id").distinct().toPandas().batch_id
+    ) | set(
+        spark.read.parquet(f"{out}/dropped.parquet")
+        .select("batch_id").distinct().toPandas().batch_id
+    )
+    lin_batches = set(
+        spark.read.parquet(f"{out}/lineage.parquet")
+        .select("batch_id").distinct().toPandas().batch_id
+    )
+    assert 1 in data_batches and 1 not in lin_batches
+
+    # restart without the fault: finishes the stream exactly-once
+    q2 = stream_score(spark, stream_input, out, THR, max_files_per_trigger=2)
+    q2.awaitTermination(120)
+
+    kept = spark.read.parquet(f"{out}/kept.parquet")
+    dropped = spark.read.parquet(f"{out}/dropped.parquet")
+    ids = kept.select("clip_id").unionByName(dropped.select("clip_id")).toPandas()
+    n_in = spark.read.parquet(stream_input).count()
+    assert ids.clip_id.is_unique, "partial batch rows were duplicated"
+    assert len(ids) == n_in, "rows lost across the crash/restart"
+    lin = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    assert lin.n_input.sum() == n_in
+    assert (
+        lin.groupby(["batch_id", "bucket"]).size().max() == 1
+    ), "lineage bookkeeping duplicated"
