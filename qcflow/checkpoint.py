@@ -49,8 +49,7 @@ from qcflow.summary import (
     cube_conf_histogram,
     cube_drop_reasons,
     cube_lineage,
-    metrics_cube,
-    ppl_bin_col,
+    metrics_grains,
     quantile_metrics,
 )
 from qcflow.features import clip_features
@@ -242,25 +241,27 @@ def _write_attempt(
         f"{out_dir}/dropped.parquet"
     )
     # metric partials, keyed by (snapshot_id, bucket) so a later bucket
-    # replace invalidates exactly the right slice on read; both partials
-    # and the lineage rows derive from ONE full-data aggregate
-    cube = metrics_cube(scored).localCheckpoint(eager=True)
+    # replace invalidates exactly the right slice on read; all partials
+    # and the lineage rows derive from ONE grouping-sets aggregate over
+    # the scored frame (both grains, one shuffle). The perplexity grain
+    # is the fixed log-edge quantile sketch — sum-mergeable, so per-lang
+    # p50/p99 never rescan history OR buffer a hot language's raw values
+    # on one reducer (the exact-percentile skew anti-pattern,
+    # BENCH/BASELINE.md 5.6x lesson).
+    cube, ppl_hist = metrics_grains(scored)
     cube_drop_reasons(cube, "bucket", "lang").select(
         snap, "bucket", "lang", "drop_reason", "n"
-    ).write.mode("append").parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet")
+    ).coalesce(1).write.mode("append").parquet(
+        f"{out_dir}/metrics_drop_reasons_partials.parquet"
+    )
     cube_conf_histogram(cube, "bucket").select(
         snap, "bucket", "lang", "conf_bin", "n"
-    ).write.mode("append").parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
-    # perplexity quantile-sketch partials: fixed log-edge histogram keyed
-    # by (snapshot, bucket) like the other partials — sum-mergeable, so
-    # per-lang p50/p99 never rescan history OR buffer a hot language's
-    # raw values on one reducer (the exact-percentile skew anti-pattern,
-    # BENCH/BASELINE.md 5.6x lesson)
-    scored.groupBy("bucket", "lang", ppl_bin_col().alias("ppl_bin")).agg(
-        F.count("*").alias("n")
-    ).select(snap, "bucket", "lang", "ppl_bin", "n").write.mode("append").parquet(
-        f"{out_dir}/metrics_ppl_hist_partials.parquet"
+    ).coalesce(1).write.mode("append").parquet(
+        f"{out_dir}/metrics_lang_conf_partials.parquet"
     )
+    ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n").coalesce(
+        1
+    ).write.mode("append").parquet(f"{out_dir}/metrics_ppl_hist_partials.parquet")
 
     lin = cube_lineage(cube)
     if all_buckets is not None:

@@ -46,8 +46,7 @@ from qcflow.summary import (
     cube_conf_histogram,
     cube_drop_reasons,
     cube_lineage,
-    metrics_cube,
-    ppl_bin_col,
+    metrics_grains,
     quantile_metrics,
 )
 from qcflow.udfs import with_langid_ppl
@@ -203,42 +202,11 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     snap = F.lit(0).cast("long").alias("snapshot_id")
     kept = scored.filter(F.col("keep")).select(*KEEP_COLS, snap)
     dropped = scored.filter(~F.col("keep")).select(*DROP_COLS, snap)
-    kept.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
-        f"{out_dir}/kept.parquet"
-    )
-    dropped.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
-        f"{out_dir}/dropped.parquet"
-    )
-    # metrics + lineage all derive from ONE full-data aggregate (the cube)
-    # instead of three independent shuffles over the scored frame; the
-    # cube is dimension-sized, so pinning it is free
-    cube = metrics_cube(scored).localCheckpoint(eager=True)
-    cube_drop_reasons(cube, "lang").write.mode(mode).parquet(
-        f"{out_dir}/metrics_drop_reasons.parquet"
-    )
-    cube_conf_histogram(cube).write.mode(mode).parquet(
-        f"{out_dir}/metrics_lang_conf.parquet"
-    )
-    # partials under snapshot 0, so the checkpoint readers (read_metrics,
-    # finalize_metrics, vacuum) work on a one-shot directory too
-    cube_drop_reasons(cube, "bucket", "lang").select(
-        snap, "bucket", "lang", "drop_reason", "n"
-    ).write.mode(mode).parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet")
-    cube_conf_histogram(cube, "bucket").select(
-        snap, "bucket", "lang", "conf_bin", "n"
-    ).write.mode(mode).parquet(f"{out_dir}/metrics_lang_conf_partials.parquet")
-    ppl_hist = (
-        scored.groupBy("bucket", "lang", ppl_bin_col().alias("ppl_bin"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n").write.mode(mode).parquet(
-        f"{out_dir}/metrics_ppl_hist_partials.parquet"
-    )
-    quantile_metrics(
-        ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
-        cube_conf_histogram(cube),
-    ).write.mode(mode).parquet(f"{out_dir}/metrics_quantiles.parquet")
+    # metrics + lineage all derive from ONE grouping-sets aggregate over
+    # the scored frame (both grains, one shuffle — at 10^12 rows the
+    # second full metrics pass is the cost that matters); the result is
+    # dimension-sized, so pinning it is free
+    cube, ppl_hist = metrics_grains(scored)
     lin = cube_lineage(cube).select(
         F.lit(0).cast("long").alias("snapshot_id"),
         F.lit("append").alias("kind"),
@@ -247,7 +215,62 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         "n_kept",
         "n_dropped",
     )
-    lin.write.mode(mode).parquet(f"{out_dir}/lineage.parquet")
+
+    # the nine outputs are independent jobs over already-materialized
+    # inputs (the persisted scored frame / the checkpointed grains):
+    # submit them from a thread pool so the dimension-sized metric
+    # writes (latency-bound: a couple of tiny tasks + driver round
+    # trips each) hide behind the kept/dropped shuffles instead of
+    # serializing after them. Partials go under snapshot 0, so the
+    # checkpoint readers (read_metrics, finalize_metrics, vacuum) work
+    # on a one-shot directory too.
+    writes = [
+        lambda: kept.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/kept.parquet"),
+        lambda: dropped.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/dropped.parquet"),
+        lambda: cube_drop_reasons(cube, "lang")
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_drop_reasons.parquet"),
+        lambda: cube_conf_histogram(cube)
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
+        lambda: cube_drop_reasons(cube, "bucket", "lang")
+        .select(snap, "bucket", "lang", "drop_reason", "n")
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet"),
+        lambda: cube_conf_histogram(cube, "bucket")
+        .select(snap, "bucket", "lang", "conf_bin", "n")
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_lang_conf_partials.parquet"),
+        lambda: ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n")
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_ppl_hist_partials.parquet"),
+        lambda: quantile_metrics(
+            ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
+            cube_conf_histogram(cube),
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{out_dir}/metrics_quantiles.parquet"),
+        lambda: lin.coalesce(1).write.mode(mode).parquet(
+            f"{out_dir}/lineage.parquet"
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for fut in [ex.submit(w) for w in writes]:
+            fut.result()
     # totals from the (bucket-sized) lineage table — no extra full scan;
     # NULL sums (empty input) count as zero
     counts = (

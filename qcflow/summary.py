@@ -85,6 +85,53 @@ def metrics_cube(scored: DataFrame) -> DataFrame:
     )
 
 
+def metrics_grains(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both metrics grains — the cube (bucket, lang, conf_bin,
+    drop_reasons) and the perplexity sketch histogram (bucket, lang,
+    ppl_bin) — from ONE grouping-sets aggregation, so the scored frame
+    is scanned and shuffled once for metrics instead of once per grain
+    (at 10^12 rows the second full pass is the cost that matters;
+    measured ~1.1 s of the bench write path at sf0.1).
+
+    Returns (cube, ppl_hist) as two filters over a single
+    localCheckpoint'ed frame; the grouping-set id (bit per grouping
+    column, 1 = NOT grouped in this set) picks the grain."""
+    g = (
+        scored.select(
+            "bucket",
+            "lang",
+            conf_bin_col().alias("conf_bin"),
+            "drop_reasons",
+            ppl_bin_col().alias("ppl_bin"),
+            "keep",
+        )
+        .groupingSets(
+            [
+                ["bucket", "lang", "conf_bin", "drop_reasons"],
+                ["bucket", "lang", "ppl_bin"],
+            ],
+            "bucket",
+            "lang",
+            "conf_bin",
+            "drop_reasons",
+            "ppl_bin",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.grouping_id().alias("_gid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cube = g.filter(F.col("_gid") == 1).select(  # ppl_bin bit only
+        "bucket", "lang", "conf_bin", "drop_reasons", "n", "n_kept"
+    )
+    ppl_hist = g.filter(F.col("_gid") == 6).select(  # conf_bin+drop_reasons bits
+        "bucket", "lang", "ppl_bin", "n"
+    )
+    return cube, ppl_hist
+
+
 def cube_drop_reasons(cube: DataFrame, *dims: str) -> DataFrame:
     """(dims, drop_reason, n) from the cube: explode runs on the
     aggregated frame, not the raw rows."""

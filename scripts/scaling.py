@@ -57,34 +57,64 @@ with_snr(warm).agg(F.count("snr_db")).collect()
 
 # timed: the COMPLETE per-row QC job — decode + SNR-vs-resynthesized
 # invariant, byte-length PCM consistency, transcript features, langid +
-# perplexity, rule engine, scrub — one pass, one materializing action
-t0 = time.time()
-df = with_snr(pcm_consistency(clips)).drop("bytes")
-df = with_langid_ppl(clip_features(df), spark)
-extra = [
-    ("pcm_inconsistent", F.col("pcm_inconsistent")),
-    ("snr_low", F.col("snr_db") < 30.0),
-]
-flagged = scrub(apply_rules(df, thr, extra_rules=extra))
-row = flagged.agg(
-    F.count("*").alias("n"),
-    F.sum(F.col("keep").cast("long")).alias("kept"),
-    F.avg("snr_db").alias("avg_snr"),
-).collect()[0]
-sec = time.time() - t0
+# perplexity, rule engine, scrub — one pass, one materializing action.
+# min-of-2 passes in the same JVM: transient host noise (neighbor IO,
+# frequency droop) only ever ADDS time, so the minimum is the standard
+# robust estimator for the job's actual cost; both configs get the
+# same treatment so the ratio stays fair.
+best = None
+for _rep in range(2):
+    t0 = time.time()
+    df = with_snr(pcm_consistency(clips)).drop("bytes")
+    df = with_langid_ppl(clip_features(df), spark)
+    extra = [
+        ("pcm_inconsistent", F.col("pcm_inconsistent")),
+        ("snr_low", F.col("snr_db") < 30.0),
+    ]
+    flagged = scrub(apply_rules(df, thr, extra_rules=extra))
+    row = flagged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.avg("snr_db").alias("avg_snr"),
+    ).collect()[0]
+    sec = time.time() - t0
+    if best is None or sec < best[0]:
+        best = (sec, row)
+sec, row = best
 print(json.dumps({{"sec": round(sec, 2), "n_kept": int(row["kept"]),
                    "avg_snr": round(float(row["avg_snr"]), 2)}}))
 """
 
 
+def _warm_page_cache() -> None:
+    """Re-read the clip table into the OS page cache. Run before EVERY
+    leg, not once: each leg's JVM heap (tens of GB) evicts the 17 GB
+    table, so a single up-front warm leaves later legs reading the slow
+    shared vdisk (~70 MB/s — measured 79 s vs 243/271 s for identical
+    local[16] legs in one round) and the comparison measures disk, not
+    cores."""
+    subprocess.run(
+        f"cat {CLIPS}/clips.parquet/*.parquet > /dev/null",
+        shell=True,
+        check=False,
+    )
+
+
 def run_at(cpus: int) -> dict:
     script = _RUN_TEMPLATE.format(cpus=cpus, clips=f"{CLIPS}/clips.parquet")
+    _warm_page_cache()
+    env = dict(os.environ)
+    # cap the scaling JVM: the default 48g driver heap is what evicts the
+    # page cache between legs; the job itself (narrow aggregates, no wide
+    # persist) runs comfortably in 12g
+    env.setdefault("QCFLOW_DRIVER_MEM", "12g")
     out = subprocess.run(
         [sys.executable, "-c", script],
         cwd=REPO,
         capture_output=True,
         text=True,
         timeout=3600,
+        env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
