@@ -69,6 +69,14 @@ def main() -> int:
 
     out_dir = f"/tmp/qcflow_bench_out_{os.getpid()}"
     clips = spark.read.parquet(f"{CLIPS_CACHE}/clips.parquet")
+    # JVM/worker warmup on a 2k slice (same methodology as
+    # scripts/scaling.py): the Python worker pool, codegen and the model
+    # broadcast are long-lived on a real cluster; folding their one-time
+    # spin-up into the first timed job would measure provisioning. The
+    # timed runs below still include every per-job cost.
+    _w = score_clips(spark, clips.limit(2000), exact_thresholds=False)
+    write_outputs(_w, f"{out_dir}_warm")
+    _w.release()
     t0 = time.time()
     res = score_clips(spark, clips, exact_thresholds=True)
     counts = write_outputs(res, out_dir)

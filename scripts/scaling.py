@@ -108,8 +108,16 @@ def run_at(cpus: int) -> dict:
     # page cache between legs; the job itself (narrow aggregates, no wide
     # persist) runs comfortably in 12g
     env.setdefault("QCFLOW_DRIVER_MEM", "12g")
+    # taskset pins the WHOLE process tree (JVM task threads, GC/netty
+    # pools, Python UDF workers) to exactly ``cpus`` cores — that is what
+    # an N-core executor host provides. Bare local[N] only caps task
+    # threads: on this 32-core box the "local[4]" leg's Python workers +
+    # 32 GC threads ran on ~8+ cores, overcounting the small config and
+    # deflating measured efficiency (0.73 apparent vs ~0.9 host ceiling
+    # measured by scripts/host_ceiling.py + a pure-numpy multiprocessing
+    # probe the same hour).
     out = subprocess.run(
-        [sys.executable, "-c", script],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", script],
         cwd=REPO,
         capture_output=True,
         text=True,
@@ -151,27 +159,41 @@ def main() -> int:
         check=False,
     )
 
-    # PAIRED runs: the shared sandbox host drifts (frequency droop,
-    # neighbor IO — measured a 77s..293s spread on identical local[16]
-    # runs), so comparing each config's independent best can pair a lucky
-    # local[4] draw with an unlucky local[16] one. Running the configs
-    # back-to-back per round samples the same host conditions; the
-    # reported efficiency is the best ROUND's ratio, with every raw
-    # second disclosed.
+    # PAIRED runs for the GATE (median pair ratio; back-to-back legs
+    # sample the same host conditions), min-per-config for the HEADLINE
+    # (noise only ever adds time, so each config's minimum is its
+    # best-supported true cost). Every raw second is disclosed.
     n_pairs = int(os.environ.get("QCFLOW_SCALING_RUNS", "3"))
-    pairs = []
-    for i in range(n_pairs):
-        r4 = run_at(4)
-        r16 = run_at(16)
-        assert r4["n_kept"] == r16["n_kept"], "outputs differ!"
-        eff_i = (ROWS / r16["sec"]) / (ROWS / r4["sec"]) / 4.0
-        pairs.append((eff_i, r4, r16))
-        print(
-            f"pair {i}: local[4]={r4['sec']}s local[16]={r16['sec']}s "
-            f"eff={eff_i:.3f}",
-            file=sys.stderr,
-        )
-    eff, best4, best16 = max(pairs, key=lambda p: p[0])
+    raw_path = f"{REPO}/BENCH/scaling_pairs.json"
+    if os.environ.get("QCFLOW_SCALING_REPLAY"):
+        # regenerate the report from the last measurement's raw numbers
+        # (report-text iteration must not cost a 40-minute re-measure)
+        with open(raw_path) as rf:
+            pairs = [tuple(p) for p in json.load(rf)["pairs"]]
+    else:
+        pairs = []
+        for i in range(n_pairs):
+            r4 = run_at(4)
+            r16 = run_at(16)
+            assert r4["n_kept"] == r16["n_kept"], "outputs differ!"
+            eff_i = (ROWS / r16["sec"]) / (ROWS / r4["sec"]) / 4.0
+            pairs.append((eff_i, r4, r16))
+            print(
+                f"pair {i}: local[4]={r4['sec']}s local[16]={r16['sec']}s "
+                f"eff={eff_i:.3f}",
+                file=sys.stderr,
+            )
+        os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+        with open(raw_path, "w") as rf:
+            json.dump({"rows": ROWS, "pairs": pairs}, rf)
+    # capability = min over all legs PER CONFIG: noise (neighbor IO,
+    # droop) only ever adds time, so each config's minimum is its
+    # best-supported true cost. A paired ratio can exceed 1.0 when a
+    # noisy local[4] leg meets a clean local[16] leg — that is a pairing
+    # artifact, not super-linear scaling, so the headline uses min/min.
+    best4 = min((p[1] for p in pairs), key=lambda r: r["sec"])
+    best16 = min((p[2] for p in pairs), key=lambda r: r["sec"])
+    eff = best4["sec"] / (4.0 * best16["sec"])
     results = {
         4: {
             "sec": best4["sec"],
@@ -190,21 +212,18 @@ def main() -> int:
     median_eff = effs[len(effs) // 2]
     summary = {
         "rows": ROWS,
+        "sec_n": best4["sec"],
+        "sec_4n": best16["sec"],
         "thr_n": results[4]["clips_per_sec"],
         "thr_4n": results[16]["clips_per_sec"],
-        # capability measure: the best paired round. On a shared noisy
-        # host the median conflates the JOB's scaling with neighbor load
-        # (a 296s outlier leg is the host, not the plan); the best quiet
-        # pair is what a dedicated cluster would see. Median disclosed
-        # alongside so the claim is auditable.
+        # capability measure: min-over-legs per config (see comment at
+        # the pairs loop); median pair ratio disclosed and GATED on —
+        # max-of-pairs is upward-biased (a noisy local[4] leg against a
+        # clean local[16] leg can exceed 1.0), so a lucky round must not
+        # flip the gate.
         "scaling_efficiency": round(eff, 3),
         "median_efficiency": round(median_eff, 3),
         "target": 0.8,
-        # gate on the MEDIAN: max of a noisy ratio is upward-biased (a
-        # slow local[4] leg paired with a fast local[16] leg inflates eff
-        # even under identical host conditions), so a lucky round could
-        # flip the gate. The best pair stays the disclosed capability
-        # number; the gate requires the typical round to clear too.
         "pass": median_eff >= 0.8,
         "pass_best": eff >= 0.8,
     }
@@ -243,14 +262,30 @@ pinned in tests/test_qc_pipeline.py::test_slim_stage_equals_full_stage).
 Same job, same input ({ROWS} synthetic clips, ~{ROWS * 115 // 1_000_000} GB
 audio payload), identical configs except core count, measured as PAIRED
 back-to-back rounds (each round runs local[4] then local[16] under the
-same host conditions; reported = the best round's pair). The job is the
+same host conditions; gate = median pair ratio, headline = per-config
+minimum over all legs). The job is the
 complete per-row QC: audio decode + SNR-vs-resynthesized invariant,
 PCM-consistency, transcript features, langid + perplexity UDF, rule
 engine, scrub — one pass, one materializing action. Fresh JVM per config
 with a 2k-clip warmup (worker-pool/codegen spin-up is provisioning cost,
 not scaling behavior — on a real cluster executors are long-lived);
-thresholds from a calibration batch; page cache pre-warmed for both
-configs so the comparison measures cores, not the shared sandbox disk.
+thresholds from a calibration batch; timed job = min of 2 passes in the
+same JVM (transient host noise only ever adds time).
+
+Fairness controls (each one measured into existence, round 3):
+- `taskset -c 0-(N-1)` pins the WHOLE process tree — JVM task threads,
+  GC/netty pools, Python UDF workers — to exactly N cores, which is what
+  an N-core executor host provides. Bare local[N] caps only task
+  threads: the "local[4]" leg's unpinned Python workers + 32 GC threads
+  consumed ~8+ cores on this 32-core box, overcounting the small config
+  (local[4] 204s unpinned vs 250s pinned) and deflating apparent
+  efficiency to 0.73 while the same-hour pure-CPU host ceiling was ~0.9
+  (scripts/host_ceiling.py: JVM xxhash 0.906; a numpy multiprocessing
+  probe of the SNR kernel itself: 0.897).
+- page cache re-warmed before EVERY leg with the leg JVM capped at 12g:
+  a 48g heap evicts the 17 GB clip table mid-round, so later legs read
+  the ~70 MB/s shared vdisk (identical local[16] legs: 79s warm vs
+  243/271s cold) and the comparison measures disk, not cores.
 
 | config | wall sec | clips/sec |
 |---|---|---|
@@ -259,11 +294,14 @@ configs so the comparison measures cores, not the shared sandbox disk.
 
 **Scaling efficiency = (thr_4N / thr_N) / 4 = {summary['scaling_efficiency']}**
 (target >= 0.8 per BASELINE.json north_rule) — {"PASS" if summary['pass'] else "FAIL"}.
-Per-round efficiencies: {[round(p[0], 3) for p in pairs]}
-(median {summary['median_efficiency']}). The headline is the best paired
-round — the capability a dedicated (quiet) cluster would see; the median
-conflates the job's scaling with neighbor load on this shared host. Both
-are disclosed so the claim is auditable against the raw seconds below.
+The headline uses each config's MINIMUM over all its legs: host noise
+(neighbor IO, frequency droop) only ever adds time, so the minimum is
+each config's best-supported true cost, and a min/min ratio cannot
+manufacture super-linear scaling the way a lucky pairing can.
+Back-to-back paired-round ratios: {[round(p[0], 3) for p in pairs]}
+(median {summary['median_efficiency']} — the GATE value; a pair ratio
+above 1.0 is a noisy narrow leg meeting a clean wide leg, disclosed,
+never claimed). All raw seconds are below.
 
 Measurement history (same job, this file's git history): round 1 measured
 0.991 on a quiet box (local[4] 257.9s -> local[16] 65.0s); round 2's best
@@ -274,8 +312,20 @@ code, and a further 2-pair re-run measured [0.340, 0.578] (local[4]
 233-297s, local[16] 101-218s — the host's high-parallelism ceiling
 degraded while the narrow leg moved far less). Identical-code local[16]
 runs have been observed anywhere in 58-297s depending on host load,
-which is why rounds are paired, the best quiet pair is the reported
-capability, and every raw second is disclosed.
+which is why the gate uses the median paired round, the headline uses
+per-config minima, and every raw second is disclosed.
+
+Round-3 forensics on that spread: (a) the cold legs were SELF-inflicted
+— each leg's 48g JVM heap evicted the page-cached clip table, so the
+58-297s spread was mostly our own cache state, fixed by per-leg re-warm
++ 12g legs (post-fix unpinned legs: local[4] 196-204s, local[16]
+67-72s, per-round eff [0.688, 0.728, 0.734] — tight); (b) the remaining
+~0.17 gap to the ~0.9 host ceiling was the unpinned small config
+overcounting its cores, fixed by taskset (see Fairness controls). The
+r1/r2 best pairs (0.991 / 0.9) carried both effects with opposite
+signs: a cache-cold local[4] leg inflates efficiency exactly the way
+the round-2 advisor flagged (max of a noisy ratio is upward-biased);
+the numbers above are bias-cleaned and reproducible.
 
 Determinism across parallelism: both runs kept exactly
 {results[4]['n_kept']} of {ROWS} clips (bucket = pmod(xxhash64(clip_id), 64)
@@ -288,6 +338,12 @@ budget across all cores — unlike N vs 4N *clusters*, where each node
 brings its own. Measured host ceiling for pure-CPU numpy work (no IO, no
 Spark): 4 -> 16 procs scales 3.68x (eff 0.92); 8 -> 32 only 3.03x (0.76,
 full-box frequency droop) — which is why the N/4N pair here is 4/16.
+Round-3 same-hour re-measurements of the 4 -> 16 ceiling:
+scripts/host_ceiling.py (pure-JVM xxhash, codegen, no Python, no IO)
+0.906; the SNR numpy kernel under plain multiprocessing (no Spark)
+0.897. The QC job's pinned efficiency reads against these: the gap to
+ceiling is Spark plumbing (Arrow serialization overlap, scan threads),
+not the plan shape.
 
 ## Scale lessons baked into the engine (measured, see git history)
 
@@ -323,7 +379,11 @@ serial stage (one scan, one Python crossing, one aggregate).
 
 ## Narrow-pipeline throughput (local[32], 60k clips)
 
-qc_pipeline (no bytes, single-pass metrics cube): 4471 clips/s;
+qc_pipeline (no bytes, scoring + ALL outputs): 9193 clips/s steady-state
+(6.5s for 60k; was 3678 in round 2 — the round-3 win is the write path:
+ONE grouping-sets metrics pass instead of two full aggregations, nine
+output writes submitted from a thread pool, dimension-sized tables
+coalesce(1)'d; scoring alone is ~2s, writes ~2.5s);
 bytes-reading consistency path on a pruned 10k slice: 3283 clips/s;
 acoustic stage (true decode + blocked clip/silence/ZCR/DC/flatness
 features + rules) on the same slice: 1702 clips/s best — parquet
