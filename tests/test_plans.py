@@ -215,3 +215,63 @@ def test_minhash_band_join_ships_no_arrays(spark):
     for s in band_exchanges:
         for banned in ("shingles", "sh_a", "sh_b", "sig#", "toks#", "hs#"):
             assert banned not in s, f"array payload crosses band Exchange: {s}"
+
+
+def test_metrics_grains_single_shuffle(spark):
+    """Both metrics grains (the cube and the perplexity sketch histogram)
+    must come from ONE shuffle over the scored frame — the grouping-sets
+    Expand runs map-side and partial-aggregates before the exchange, so
+    a 10^12-row scored frame is scanned and shuffled once for metrics,
+    not once per grain. Gate: exactly one Exchange in the plan and an
+    Expand below it."""
+    from pyspark.sql import functions as F
+
+    from qcflow.summary import conf_bin_col, ppl_bin_col
+
+    scored = (
+        spark.range(0, 1000)
+        .select(
+            (F.col("id") % 8).cast("int").alias("bucket"),
+            F.concat(F.lit("l"), (F.col("id") % 3)).alias("lang"),
+            (F.rand(7) * 0.99).alias("lang_conf"),
+            F.when(F.col("id") % 5 == 0, F.lit("short")).otherwise(F.lit("")).alias(
+                "drop_reasons"
+            ),
+            (F.rand(11) * 50 + 1).alias("perplexity"),
+            (F.col("id") % 5 != 0).alias("keep"),
+        )
+    )
+    g = (
+        scored.select(
+            "bucket",
+            "lang",
+            conf_bin_col().alias("conf_bin"),
+            "drop_reasons",
+            ppl_bin_col().alias("ppl_bin"),
+            "keep",
+        )
+        .groupingSets(
+            [
+                ["bucket", "lang", "conf_bin", "drop_reasons"],
+                ["bucket", "lang", "ppl_bin"],
+            ],
+            "bucket",
+            "lang",
+            "conf_bin",
+            "drop_reasons",
+            "ppl_bin",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.grouping_id().alias("_gid"),
+        )
+    )
+    p = plan_of(g)
+    # formatted mode names each node once in the tree ("+- Exchange (6)")
+    # and once as a detail header ("(6) Exchange") — count tree nodes
+    assert p.count("Exchange (") == 1, p
+    assert "Expand (" in p, p
+    # partial aggregation must sit below the exchange (map-side combine):
+    # top-down tree order is Exchange -> HashAggregate -> Expand
+    assert p.index("Expand (") > p.index("Exchange ("), p
