@@ -48,6 +48,8 @@ GATE_ORDER = [
     "ann_ivf",
     "ann_ivf_trained",
     "ann_kmeans_assign",
+    "ann_pq_assign",
+    "ann_pq_adc_topk",
     # text analysis
     "text_langid_heuristic",
     "text_quality_score",

@@ -512,3 +512,149 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------- PQ / ADC construction truth
+#
+# Product quantization (the 10^12-vector memory layout: M code bytes per
+# vector instead of d floats) gated with the same construction-truth
+# pattern as the trained IVF above: vectors are BUILT as a chosen
+# sub-centroid per subspace plus noise far smaller than half the minimum
+# intra-subspace centroid separation, so the nearest-sub-centroid code is
+# provable and planted as truth columns; the ADC top-k truth is computed
+# at build time with the exact sequential-fold arithmetic qcflow/ann.py
+# uses (pq_lut + left-assoc adds), so the hash gate is exact. DuckDB
+# reads ONLY the truth; Spark recovers codes through the codegen'd
+# pq_assign projection and scores through the LUT projection + window
+# top-k.
+
+_PQ_M = 4  # subspaces
+_PQ_KS = 8  # sub-centroids per subspace
+_PQ_DSUB = 4  # dims per subspace (D = 16)
+_PQ_N = 240
+_PQ_NQ = 4  # vec_id < 4 are queries (full-precision, excluded from own list)
+_PQ_NOISE = 0.005
+_PQ_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_pq",
+)
+_PQ_VEC = os.path.join(_PQ_DIR, "vectors_v1.parquet")
+_PQ_TRUTH = os.path.join(_PQ_DIR, "truth_adc_v1.parquet")
+
+
+def _pq_codebooks() -> np.ndarray:
+    """Deterministic (M, ks, dsub) codebooks, rounded so the literals in
+    every dialect are the same shortest-repr doubles."""
+    return np.round(
+        np.random.default_rng(2718).normal(0.0, 1.0, (_PQ_M, _PQ_KS, _PQ_DSUB)), 6
+    )
+
+
+def _materialize_pq_truth() -> None:
+    if os.path.exists(_PQ_VEC) and os.path.exists(_PQ_TRUTH):
+        return
+    import pandas as pd
+
+    from qcflow.ann import pq_lut
+
+    os.makedirs(_PQ_DIR, exist_ok=True)
+    cb = _pq_codebooks()
+    # provability margin: noise displaces each subvector by at most
+    # ~|N(0, noise)|*sqrt(dsub+margin); require 4 sigma * sqrt(dsub)
+    # below half the minimum centroid separation in every subspace
+    for m in range(_PQ_M):
+        d2 = (
+            ((cb[m][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            + np.eye(_PQ_KS) * 1e9
+        )
+        min_sep = float(np.sqrt(d2.min()))
+        assert _PQ_NOISE * 8 * np.sqrt(_PQ_DSUB) < min_sep / 2, (m, min_sep)
+    rng = np.random.default_rng(527)
+    codes_true = rng.integers(0, _PQ_KS, (_PQ_N, _PQ_M))
+    emb = np.empty((_PQ_N, _PQ_M * _PQ_DSUB))
+    for m in range(_PQ_M):
+        emb[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = cb[m][codes_true[:, m]]
+    emb = np.round(emb + rng.normal(0.0, _PQ_NOISE, emb.shape), 6)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(_PQ_N, dtype=np.int64),
+            "emb": [row.tolist() for row in emb],
+            **{
+                f"true_code_{m}": codes_true[:, m].astype(np.int32)
+                for m in range(_PQ_M)
+            },
+        }
+    ).to_parquet(_PQ_VEC, index=False)
+
+    truth = []
+    for q in range(_PQ_NQ):
+        lut = pq_lut(emb[q], cb)
+        scored = []
+        for v in range(_PQ_N):
+            if v == q:
+                continue
+            s = lut[0][codes_true[v, 0]]
+            for m in range(1, _PQ_M):
+                s = s + lut[m][codes_true[v, m]]
+            scored.append((v, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for nb, s in scored[:TOP_K]:
+            truth.append(
+                {
+                    "query_id": np.int64(q),
+                    "neighbor_id": np.int64(nb),
+                    "adc_score": _round_half_up4(s),
+                }
+            )
+    pd.DataFrame(truth).to_parquet(_PQ_TRUTH, index=False)
+
+
+_materialize_pq_truth()
+
+
+@query(
+    "ann_pq_assign",
+    oracle=f"SELECT vec_id, "
+    + ", ".join(f"true_code_{m} AS code_{m}" for m in range(_PQ_M))
+    + f" FROM '{_PQ_VEC}'",
+)
+def ann_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding as one codegen'd projection (qcflow/ann.pq_assign):
+    every vector -> M sub-centroid codes, the 10^12-scale memory layout
+    (M bytes/vector instead of d floats). Hash-gated against the planted
+    construction-truth codes (margin argument in the module comment)."""
+    from qcflow.ann import pq_assign
+
+    _materialize_pq_truth()
+    vec = spark.read.parquet(_PQ_VEC).select("vec_id", "emb")
+    out = pq_assign(vec, _pq_codebooks())
+    return out.select("vec_id", *[f"code_{m}" for m in range(_PQ_M)])
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"SELECT query_id, neighbor_id, adc_score FROM '{_PQ_TRUTH}'",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k (qcflow/ann.pq_adc_topk): full-precision queries score
+    coded vectors via M LUT lookups + adds in a pure projection — no
+    decode, no Python, one scan of the codes table for all queries, then
+    a WindowGroupLimit'd per-query top-k. Hash-gated against the ADC
+    truth computed at fixture build with identical fold arithmetic."""
+    from qcflow.ann import pq_adc_topk, pq_assign
+
+    _materialize_pq_truth()
+    cb = _pq_codebooks()
+    vec = spark.read.parquet(_PQ_VEC).select("vec_id", "emb")
+    codes = pq_assign(vec, cb).select(
+        "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
+    )
+    import pandas as pd  # fixture read for query vectors (driver-sized)
+
+    qrows = pd.read_parquet(_PQ_VEC, columns=["vec_id", "emb"]).head(_PQ_NQ)
+    queries = [(int(r.vec_id), np.asarray(r.emb)) for r in qrows.itertuples()]
+    out = pq_adc_topk(codes, queries, cb, k=TOP_K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_score", 4).alias("adc_score")
+    )

@@ -275,3 +275,21 @@ def test_metrics_grains_single_shuffle(spark):
     # partial aggregation must sit below the exchange (map-side combine):
     # top-down tree order is Exchange -> HashAggregate -> Expand
     assert p.index("Expand (") > p.index("Exchange ("), p
+
+
+def test_pq_assign_is_pure_projection(spark):
+    """PQ encoding must be a single codegen'd projection over the vector
+    scan — no Exchange, no Python: at 10^12 vectors the encode pass is a
+    map-only job."""
+    p = plan_of(QUERIES["ann_pq_assign"](spark, SF))
+    assert "Exchange (" not in p, p
+    assert "Python" not in p, p
+
+
+def test_pq_adc_topk_uses_window_group_limit(spark):
+    """ADC scoring is LUT lookups in a projection; the per-query top-k
+    rank filter must get Spark 4's map-side WindowGroupLimit so a hot
+    query never buffers the whole corpus on one reducer."""
+    p = plan_of(QUERIES["ann_pq_adc_topk"](spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "Python" not in p, p
