@@ -348,3 +348,61 @@ def pq_adc_topk(
     return out.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The production nesting: IVF coarse lists pruned first, ADC within
+    the probed lists only. The corpus is stored ONCE as
+    (cluster, id, code_0..code_{M-1}) — at 10^12 vectors that table is
+    M bytes/vector partitioned by list, and a query touches
+    nprobe/k_lists of it, scored by LUT lookups with no vector decode.
+
+    Probes are resolved on the driver (k_lists x d is driver-sized, the
+    same trick as the LUT); each query becomes a cluster-pruned
+    projection over the codes table, so the scan prunes to the probed
+    lists before any scoring work. Non-residual PQ (codes quantize the
+    absolute vector, not v - centroid): simpler, and exact enough when
+    the codebook spans the occupied space — recall vs the exact baseline
+    is pinned in tests/test_ann_pq.py."""
+    coded = pq_assign(
+        assign_clusters(corpus, centroids, emb_col=emb_col),
+        codebooks,
+        emb_col=emb_col,
+        id_col=id_col,
+    ).select(id_col, "cluster", *[f"code_{m}" for m in range(codebooks.shape[0])])
+    M = codebooks.shape[0]
+    per_q = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        d2 = ((centroids - q) ** 2).sum(axis=1)
+        probes = [int(i) + 1 for i in np.argsort(d2)[:nprobe]]  # 1-based
+        lut = pq_lut(q, codebooks)
+        score = None
+        for m in range(M):
+            arr = F.array(*[F.lit(v) for v in lut[m]])
+            term = F.element_at(arr, F.col(f"code_{m}") + 1)
+            score = term if score is None else score + term
+        per_q.append(
+            coded.filter(F.col("cluster").isin(probes) & (F.col(id_col) != qid))
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                score.alias("adc_score"),
+            )
+        )
+    out = per_q[0]
+    for df_q in per_q[1:]:
+        out = out.unionByName(df_q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
