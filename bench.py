@@ -119,6 +119,28 @@ def main() -> int:
     queries["qc_pipeline_acoustic"] = round(ac_sec, 3)
     res3.release()
 
+    # resumable checkpoint path: the same 60k clips written as 4 snapshot
+    # increments of 16 buckets each (thresholds derived once up front,
+    # per-(snapshot,bucket) metric partials, lineage-as-commit-log) — the
+    # north-rule operating mode. The delta vs qc_pipeline is the price of
+    # resumability: bucket-pruned rescans + incremental metric merges.
+    import shutil
+
+    from qcflow.checkpoint import run_resumable
+
+    resume_dir = f"{out_dir}_resume"
+    shutil.rmtree(resume_dir, ignore_errors=True)
+    t0 = time.time()
+    for _inc in range(4):
+        run_resumable(
+            spark,
+            f"{CLIPS_CACHE}/clips.parquet",
+            resume_dir,
+            exact_thresholds=False,
+            max_buckets=16,
+        )
+    queries["qc_resume_4increments"] = round(time.time() - t0, 3)
+
     # --- skew demonstration on the metrics shapes ------------------------
     # 4M rows, 70% on one key (the clip table's Zipf language shape).
     # Measured findings recorded in BENCH/BASELINE.md:
