@@ -50,6 +50,7 @@ GATE_ORDER = [
     "ann_kmeans_assign",
     "ann_pq_assign",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # text analysis
     "text_langid_heuristic",
     "text_quality_score",

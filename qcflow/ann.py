@@ -256,7 +256,8 @@ def ivf_topk(
 # pure codegen'd projection over the codes table, no decode, no Python.
 # Jegou et al., "Product Quantization for Nearest Neighbor Search",
 # TPAMI 2011. In production PQ nests inside IVF (probe lists, then ADC
-# within them); here the two layers are separable and separately gated.
+# within them) — ``ivfpq_topk`` below; each layer AND the composition
+# are hash-gated (parity/similarity.py construction truths).
 
 
 def pq_assign(

@@ -658,3 +658,149 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("adc_score", 4).alias("adc_score")
     )
+
+
+# ------------------------------------------ IVF+PQ composed construction truth
+#
+# Hierarchical planting gates the COMPOSED path (coarse pruning -> ADC)
+# exactly: cluster i's vectors carry a large offset (+40) on dimension
+# 4*i — the first dim of subspace i — and the PQ codebooks contain both
+# the base sub-centroids and their offset variants (ks doubles to 16), so
+# nearest-coarse-center AND nearest-sub-centroid are simultaneously
+# provable (offset separation ~40 dwarfs base separation ~2 dwarfs noise
+# 0.005). Truth replicates ivfpq_topk's driver arithmetic bit-for-bit:
+# probe selection is the same numpy argsort of squared distances to the
+# same planted centers, ADC scores the same pq_lut sequential fold.
+
+_IP_NCL = 4  # coarse clusters (vec_id % 4 at build, provable via margin)
+_IP_KS_BASE = 8
+_IP_OFF = 40.0
+_IP_N = 320
+_IP_NQ = 4
+_IP_NOISE = 0.005
+_IP_NPROBE = 2
+_IP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_ivfpq",
+)
+_IP_VEC = os.path.join(_IP_DIR, "vectors_v1.parquet")
+_IP_TRUTH = os.path.join(_IP_DIR, "truth_v1.parquet")
+
+
+def _ivfpq_centers() -> np.ndarray:
+    d = _PQ_M * _PQ_DSUB
+    centers = np.zeros((_IP_NCL, d))
+    for i in range(_IP_NCL):
+        centers[i, _PQ_DSUB * i] = _IP_OFF
+    return centers
+
+
+def _ivfpq_codebooks() -> np.ndarray:
+    """(M, 16, dsub): base sub-centroids plus their coarse-offset
+    variants (offset rides dim 0 of each subspace)."""
+    base = np.round(
+        np.random.default_rng(1618).normal(0.0, 1.0, (_PQ_M, _IP_KS_BASE, _PQ_DSUB)),
+        6,
+    )
+    off = base.copy()
+    off[:, :, 0] += _IP_OFF
+    return np.concatenate([base, off], axis=1)
+
+
+def _materialize_ivfpq_truth() -> None:
+    if os.path.exists(_IP_VEC) and os.path.exists(_IP_TRUTH):
+        return
+    import pandas as pd
+
+    from qcflow.ann import pq_lut
+
+    os.makedirs(_IP_DIR, exist_ok=True)
+    cb = _ivfpq_codebooks()
+    for m in range(_PQ_M):
+        d2 = (
+            ((cb[m][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            + np.eye(2 * _IP_KS_BASE) * 1e9
+        )
+        min_sep = float(np.sqrt(d2.min()))
+        assert _IP_NOISE * 8 * np.sqrt(_PQ_DSUB) < min_sep / 2, (m, min_sep)
+    rng = np.random.default_rng(941)
+    clusters = (np.arange(_IP_N) % _IP_NCL).astype(np.int64)
+    base_codes = rng.integers(0, _IP_KS_BASE, (_IP_N, _PQ_M))
+    codes_true = base_codes.copy()
+    emb = np.empty((_IP_N, _PQ_M * _PQ_DSUB))
+    for m in range(_PQ_M):
+        # subspace m gets the offset variant for vectors of cluster m
+        codes_true[:, m] = base_codes[:, m] + _IP_KS_BASE * (clusters == m)
+        emb[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = cb[m][codes_true[:, m]]
+    emb = np.round(emb + rng.normal(0.0, _IP_NOISE, emb.shape), 6)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(_IP_N, dtype=np.int64),
+            "emb": [row.tolist() for row in emb],
+            "true_cluster": clusters,
+            **{
+                f"true_code_{m}": codes_true[:, m].astype(np.int32)
+                for m in range(_PQ_M)
+            },
+        }
+    ).to_parquet(_IP_VEC, index=False)
+
+    centers = _ivfpq_centers()
+    truth = []
+    for q in range(_IP_NQ):
+        d2 = ((centers - emb[q]) ** 2).sum(axis=1)
+        probes = set(int(i) for i in np.argsort(d2)[:_IP_NPROBE])
+        lut = pq_lut(emb[q], cb)
+        scored = []
+        for v in range(_IP_N):
+            if v == q or int(clusters[v]) not in probes:
+                continue
+            s = lut[0][codes_true[v, 0]]
+            for m in range(1, _PQ_M):
+                s = s + lut[m][codes_true[v, m]]
+            scored.append((v, s))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for nb, s in scored[:TOP_K]:
+            truth.append(
+                {
+                    "query_id": np.int64(q),
+                    "neighbor_id": np.int64(nb),
+                    "adc_score": _round_half_up4(s),
+                }
+            )
+    pd.DataFrame(truth).to_parquet(_IP_TRUTH, index=False)
+
+
+_materialize_ivfpq_truth()
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"SELECT query_id, neighbor_id, adc_score FROM '{_IP_TRUTH}'",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN path (qcflow/ann.ivfpq_topk): coarse
+    lists prune first (cluster-pruned scan of the codes table), ADC LUT
+    lookups score within the probed lists, WindowGroupLimit'd top-k —
+    hash-gated end to end against the hierarchical construction truth
+    (module comment above: coarse margin 40 >> PQ margin ~2 >> noise)."""
+    from qcflow.ann import ivfpq_topk
+
+    _materialize_ivfpq_truth()
+    vec = spark.read.parquet(_IP_VEC).select("vec_id", "emb")
+    import pandas as pd
+
+    qrows = pd.read_parquet(_IP_VEC, columns=["vec_id", "emb"]).head(_IP_NQ)
+    queries = [(int(r.vec_id), np.asarray(r.emb)) for r in qrows.itertuples()]
+    out = ivfpq_topk(
+        vec,
+        queries,
+        _ivfpq_centers(),
+        _ivfpq_codebooks(),
+        k=TOP_K,
+        nprobe=_IP_NPROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_score", 4).alias("adc_score")
+    )
