@@ -75,7 +75,11 @@ GATE_ORDER = [
     # window — documented API-coverage-only entry, judge-sweep covered)
     "x_mad_per_group",
     "x_ks_drift_per_group",
-    # §2 reference-operator cross-section
+    # production metrics quantile sketch (the skew lesson, in the cube)
+    "x_hist_quantile_sketch",
+    # §2 reference-operator cross-section (the remaining §2 rows —
+    # a6/a9/o1/u1 etc. — follow after position 50 in natural registry
+    # order; all are judge-sweep covered)
     "s1_scan_projection",
     "s2_scan_filter_pushdown",
     "s4_sink_roundtrip",
@@ -89,12 +93,13 @@ GATE_ORDER = [
     "a1_groupby_mean_multi",
     "a4_multi_agg_breakdown",
     "a5_pivot",
-    "a6_fixed_bins",
     "a8_percentile_thresholds",
-    "a9_ecdf",
-    "o1_multisort_topk",
-    "u1_union_cycles",
 ]
+
+# the driver's CORRECTNESS artifact records exactly the first 50
+# queries() entries — the curation must fill the window, never overflow
+# it (an overflow silently evicts the tail)
+assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 
 
 def _gate_ordered(mapping: dict) -> dict:

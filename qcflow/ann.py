@@ -81,13 +81,12 @@ def farthest_first_init(
         raise ValueError("farthest_first_init: empty input")
     cents = [np.array(first[0][emb_col], dtype=np.float64)]
     for _ in range(k - 1):
-        mind = F.array_min(
-            F.array(
-                *[
-                    _sq_norm(F.col(emb_col)) + _sq_dist(emb_col, c)
-                    for c in cents
-                ]
-            )
+        # |v|^2 is constant across centroids: hoist the O(d) fold out of
+        # the per-centroid array (Spark does not CSE higher-order
+        # aggregate lambdas, so inlining it costs len(cents) redundant
+        # folds per row) — min(|v|^2 + t_c) = |v|^2 + min(t_c)
+        mind = _sq_norm(F.col(emb_col)) + F.array_min(
+            F.array(*[_sq_dist(emb_col, c) for c in cents])
         )
         r = (
             df.select(id_col, emb_col, mind.alias("_d"))
@@ -326,6 +325,8 @@ def pq_adc_topk(
     M literal arrays (broadcast-by-literal); the union of Q dimension-
     sized projections reuses one scan of the codes. Returns (query_id,
     neighbor_id, adc_score, rank)."""
+    if not queries:
+        raise ValueError("pq_adc_topk: queries must be non-empty")
     M = codebooks.shape[0]
     per_q = []
     for qid, qvec in queries:
@@ -374,6 +375,8 @@ def ivfpq_topk(
     absolute vector, not v - centroid): simpler, and exact enough when
     the codebook spans the occupied space — recall vs the exact baseline
     is pinned in tests/test_ann_pq.py."""
+    if not queries:
+        raise ValueError("ivfpq_topk: queries must be non-empty")
     coded = pq_assign(
         assign_clusters(corpus, centroids, emb_col=emb_col),
         codebooks,

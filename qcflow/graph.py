@@ -138,9 +138,21 @@ def connected_components_stars(
     its component minimum. Same output contract as
     ``connected_components``: (id, comp) for every vertex with an edge.
     """
-    e = edges.select(
+    raw = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
+    )
+    # vertex set BEFORE dropping self-loops: a vertex whose only edge is
+    # a self-loop must still get a singleton label (the hash-min path
+    # keeps self-loops in its symmetrized adjacency and labels it; this
+    # path must honor the same "(id, comp) for every vertex with an
+    # edge" contract)
+    vertices = (
+        raw.select(F.col("src").alias("id"))
+        .unionByName(raw.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = raw.filter(F.col("src") != F.col("dst"))
     e = e.localCheckpoint(eager=True)
     prev = None
     for _ in range(max_rounds):
@@ -191,7 +203,12 @@ def connected_components_stars(
     labels = non_roots.unionByName(roots).groupBy("id").agg(
         F.min("comp").alias("comp")
     )
-    return labels.localCheckpoint(eager=True)
+    # vertices that vanished from the star forest (self-loop-only, or a
+    # whole-component collapse leaving no edges) are singletons
+    singletons = vertices.join(labels, "id", "left_anti").withColumn(
+        "comp", F.col("id")
+    )
+    return labels.unionByName(singletons).localCheckpoint(eager=True)
 
 
 def resolve_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

@@ -71,20 +71,6 @@ def conf_bin_col(n_bins: int = CONF_BINS) -> Column:
     )
 
 
-def metrics_cube(scored: DataFrame) -> DataFrame:
-    """ONE full-data aggregate at the finest metrics grain — every
-    metrics/lineage table derives from this cube with dimension-sized
-    re-aggregations, so a 10^12-row scored frame is shuffled once for
-    metrics instead of once per table. Cardinality is bounded:
-    buckets x langs x conf bins x observed rule-combination strings."""
-    return scored.groupBy(
-        "bucket", "lang", conf_bin_col().alias("conf_bin"), "drop_reasons"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-    )
-
-
 def metrics_grains(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Both metrics grains — the cube (bucket, lang, conf_bin,
     drop_reasons) and the perplexity sketch histogram (bucket, lang,
@@ -166,10 +152,15 @@ def ppl_bin_col(col: str = "perplexity") -> Column:
     """Log-scale perplexity bin — the mergeable-sketch key for quantile
     partials. Fixed edges make per-(snapshot, bucket) histograms
     sum-combinable by construction; NULL perplexity maps to bin NULL and
-    is excluded from quantile mass."""
-    return F.floor(
-        F.log2(F.greatest(F.col(col), F.lit(1e-9))) * PPL_BINS_PER_OCTAVE
-    ).cast("int")
+    is excluded from quantile mass (the explicit isNotNull guard matters:
+    ``greatest`` SKIPS nulls, so without it a NULL would silently land in
+    the 1e-9 floor bin and drag quantiles toward zero)."""
+    return F.when(
+        F.col(col).isNotNull(),
+        F.floor(
+            F.log2(F.greatest(F.col(col), F.lit(1e-9))) * PPL_BINS_PER_OCTAVE
+        ).cast("int"),
+    )
 
 
 def ppl_bin_upper(bin_col: Column) -> Column:

@@ -12,6 +12,9 @@ from __future__ import annotations
 import json
 import sys
 import time
+from typing import Iterator
+
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -26,10 +29,40 @@ from qcflow.session import get_spark  # noqa: E402
 CLIPS = "/root/repo/.cache/clips_scale60000/clips.parquet"
 
 
+def _with_langid_rebatched(df, spark, chunk_rows: int):
+    """The rebatching variant lives HERE, self-contained: the production
+    with_langid_ppl deliberately has no rebatch layer (this A/B measured
+    it a wash), so the script carries its own so a re-run still measures
+    a real difference instead of toggling a dead attribute."""
+    bc = udfs._broadcast_models(spark)
+
+    # the Iterator type hints select the SCALAR_ITER UDF form; Iterator
+    # and pd must be MODULE-level imports — with `from __future__ import
+    # annotations` the hints are strings, and PySpark resolves them in
+    # the function's global namespace
+    @F.pandas_udf("lang string, lang_conf double, perplexity double")
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        models = bc.value
+        pend, n = [], 0
+        for s in it:
+            pend.append(s)
+            n += len(s)
+            if n >= chunk_rows:
+                yield udfs._score_batch(models, pd.concat(pend, ignore_index=True))
+                pend, n = [], 0
+        if pend:
+            yield udfs._score_batch(models, pd.concat(pend, ignore_index=True))
+
+    out = df.withColumn("_m", _udf(F.col("transcript")))
+    return out.select("*", "_m.lang", "_m.lang_conf", "_m.perplexity").drop("_m")
+
+
 def run(spark, clips, thr, chunk_rows: int) -> tuple[float, int]:
-    udfs.LANGID_CHUNK_ROWS = chunk_rows
     t0 = time.time()
-    df = udfs.with_langid_ppl(clip_features(clips), spark)
+    if chunk_rows <= 1:  # production path: raw Arrow batches (256 rows)
+        df = udfs.with_langid_ppl(clip_features(clips), spark)
+    else:
+        df = _with_langid_rebatched(clip_features(clips), spark, chunk_rows)
     flagged = scrub(apply_rules(df, thr))
     n = flagged.agg(F.sum(F.col("keep").cast("long"))).collect()[0][0]
     return time.time() - t0, int(n)

@@ -66,19 +66,32 @@ def main() -> None:
         kepts.update([k_a, k_b])
     assert len(kepts) == 1, f"variants disagree on kept set size: {kepts}"
     best_full, best_slim = min(runs["full"]), min(runs["slim"])
-    out = {
-        "rows": n,
+    session = {
+        "host": "unlabeled re-run",  # relabel by hand if quoting this run
         "full_secs": runs["full"],
         "slim_secs": runs["slim"],
-        "full_clips_per_sec": round(n / best_full, 1),
-        "slim_clips_per_sec": round(n / best_slim, 1),
         "speedup_slim": round(best_full / best_slim, 3),
-        "winner": "slim" if best_slim <= best_full else "full",
     }
     import os
 
+    # APPEND a session to the committed file — scaling.py's BASELINE.md
+    # rebuild iterates ab["sessions"] and reads the top-level
+    # rows/winner/rationale keys, so the session-list schema must be
+    # preserved (a flat overwrite here once broke the rebuild after the
+    # 40-minute measurement completed)
+    path = "/root/repo/BENCH/ab_stage_slim.json"
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/ab_stage_slim.json", "w") as f:
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    else:
+        out = {"rows": n, "sessions": [], "winner": "", "rationale": ""}
+    out["sessions"].append(session)
+    out["winner"] = "slim" if best_slim <= best_full else "full"
+    out.setdefault("rationale", "")
+    out["full_clips_per_sec_best"] = round(n / best_full, 1)
+    out["slim_clips_per_sec_best"] = round(n / best_slim, 1)
+    with open(path, "w") as f:
         json.dump(out, f)  # scaling.py folds this into BENCH/BASELINE.md
     print(json.dumps(out))
 

@@ -117,3 +117,18 @@ def test_high_diameter_chain_falls_back_to_stars(spark):
         comps.setdefault(r["comp"], set()).add(r["id"])
     assert set(comps) == {int(perm.min()), 100000}
     assert comps[100000] == {100000, 100001, 100002}
+
+
+def test_stars_keeps_self_loop_only_vertex(spark):
+    """Contract parity with hash-min: a vertex whose only edge is a
+    self-loop still gets a singleton label from the stars path."""
+    from qcflow.graph import connected_components_stars
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (42, 42)], "src long, dst long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components_stars(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 42: 42}
+    # and the hash-min path agrees on the same input
+    hm = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert hm == got
