@@ -410,3 +410,90 @@ def ivfpq_topk(
     return out.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_lut_l2(query_res: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:
+    """Per-(query, probed-list) L2 ADC table for RESIDUAL PQ:
+    lut[m][j] = ||qr_sub_m - c_mj||^2 as a sequential fold (d = x - y;
+    acc + d*d), bit-for-bit reproducible across driver, executor
+    projection and the parity truth builder."""
+    M, ks, dsub = codebooks.shape
+    lut = []
+    for m in range(M):
+        sub = query_res[m * dsub : (m + 1) * dsub]
+        row = []
+        for j in range(ks):
+            acc = 0.0
+            for x, y in zip(sub, codebooks[m][j]):
+                d = x - y
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Faiss-style residual IVFPQ: each vector's RESIDUAL against its
+    coarse centroid is PQ-encoded (residuals concentrate near zero, so a
+    shared residual codebook quantizes far tighter than absolute-space
+    PQ), and search is L2 ADC per (query, probed list):
+    ||q - v||^2 ~ sum_m ||(q - c_L)_sub_m - cb_m[code_m]||^2, smaller =
+    closer. The encode pass is still one codegen'd projection — the
+    per-row centroid is picked from a literal array-of-arrays by the
+    cluster id, the residual is a zip_with, no shuffle, no Python. Each
+    (query, probe) pair becomes one cluster-pruned projection with its
+    own LUT literals; ranks ascend by distance."""
+    if not queries:
+        raise ValueError("ivfpq_residual_topk: queries must be non-empty")
+    M = codebooks.shape[0]
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = assign_clusters(corpus, centroids, emb_col=emb_col)
+    res = assigned.withColumn(
+        "_res",
+        F.zip_with(
+            F.col(emb_col),
+            F.element_at(centers_lit, F.col("cluster")),
+            lambda x, c: x - c,
+        ),
+    )
+    coded = pq_assign(res, codebooks, emb_col="_res", id_col=id_col).select(
+        id_col, "cluster", *[f"code_{m}" for m in range(M)]
+    )
+    per_probe = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        d2 = ((centroids - q) ** 2).sum(axis=1)
+        for probe0 in np.argsort(d2)[:nprobe]:
+            lut = pq_lut_l2(q - centroids[int(probe0)], codebooks)
+            dist = None
+            for m in range(M):
+                arr = F.array(*[F.lit(v) for v in lut[m]])
+                term = F.element_at(arr, F.col(f"code_{m}") + 1)
+                dist = term if dist is None else dist + term
+            per_probe.append(
+                coded.filter(
+                    (F.col("cluster") == int(probe0) + 1) & (F.col(id_col) != qid)
+                ).select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.col(id_col).alias("neighbor_id"),
+                    dist.alias("adc_dist"),
+                )
+            )
+    out = per_probe[0]
+    for df_q in per_probe[1:]:
+        out = out.unionByName(df_q)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

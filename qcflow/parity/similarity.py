@@ -804,3 +804,131 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("adc_score", 4).alias("adc_score")
     )
+
+
+# --------------------------------------- residual IVFPQ construction truth
+#
+# The Faiss-style variant: PQ encodes the RESIDUAL v - center[cluster],
+# so one shared codebook quantizes every list tightly (residuals
+# concentrate near zero). Planting is SIMPLER than the absolute-space
+# composed gate: vector = coarse_center + cb-chosen residual + noise,
+# and the base codebook needs no offset variants because the center is
+# subtracted before encoding. Margins: coarse separation 40*sqrt(2)
+# between centers vs max residual norm ~4 (cluster assignment provable);
+# residual sub-centroid separation ~2 vs noise 0.005 (codes provable).
+# Truth replicates ivfpq_residual_topk's arithmetic: same numpy probe
+# argsort, same pq_lut_l2 sequential fold, left-assoc adds.
+
+_IR_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_ivfpq_res",
+)
+_IR_VEC = os.path.join(_IR_DIR, "vectors_v1.parquet")
+_IR_TRUTH = os.path.join(_IR_DIR, "truth_v1.parquet")
+
+
+def _ir_codebooks() -> np.ndarray:
+    return np.round(
+        np.random.default_rng(3141).normal(0.0, 1.0, (_PQ_M, _IP_KS_BASE, _PQ_DSUB)),
+        6,
+    )
+
+
+def _materialize_ivfpq_residual_truth() -> None:
+    if os.path.exists(_IR_VEC) and os.path.exists(_IR_TRUTH):
+        return
+    import pandas as pd
+
+    from qcflow.ann import pq_lut_l2
+
+    os.makedirs(_IR_DIR, exist_ok=True)
+    cb = _ir_codebooks()
+    for m in range(_PQ_M):
+        d2 = (
+            ((cb[m][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            + np.eye(_IP_KS_BASE) * 1e9
+        )
+        min_sep = float(np.sqrt(d2.min()))
+        assert _IP_NOISE * 8 * np.sqrt(_PQ_DSUB) < min_sep / 2, (m, min_sep)
+    centers = _ivfpq_centers()
+    rng = np.random.default_rng(653)
+    clusters = (np.arange(_IP_N) % _IP_NCL).astype(np.int64)
+    codes_true = rng.integers(0, _IP_KS_BASE, (_IP_N, _PQ_M))
+    resid = np.empty((_IP_N, _PQ_M * _PQ_DSUB))
+    for m in range(_PQ_M):
+        resid[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = cb[m][codes_true[:, m]]
+    emb = np.round(centers[clusters] + resid + rng.normal(0.0, _IP_NOISE, resid.shape), 6)
+    # coarse-assignment margin: every vector strictly nearest its own center
+    max_res = float(np.sqrt(((emb - centers[clusters]) ** 2).sum(1)).max())
+    assert max_res < _IP_OFF / 4, max_res
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(_IP_N, dtype=np.int64),
+            "emb": [row.tolist() for row in emb],
+            "true_cluster": clusters,
+            **{
+                f"true_code_{m}": codes_true[:, m].astype(np.int32)
+                for m in range(_PQ_M)
+            },
+        }
+    ).to_parquet(_IR_VEC, index=False)
+
+    truth = []
+    for q in range(_IP_NQ):
+        d2c = ((centers - emb[q]) ** 2).sum(axis=1)
+        probes = [int(i) for i in np.argsort(d2c)[:_IP_NPROBE]]
+        scored = []
+        for probe in probes:
+            lut = pq_lut_l2(emb[q] - centers[probe], cb)
+            for v in range(_IP_N):
+                if v == q or int(clusters[v]) != probe:
+                    continue
+                s = lut[0][codes_true[v, 0]]
+                for m in range(1, _PQ_M):
+                    s = s + lut[m][codes_true[v, m]]
+                scored.append((v, s))
+        scored.sort(key=lambda p: (p[1], p[0]))  # ASCENDING distance
+        for nb, s in scored[:TOP_K]:
+            truth.append(
+                {
+                    "query_id": np.int64(q),
+                    "neighbor_id": np.int64(nb),
+                    "adc_dist": _round_half_up4(s),
+                }
+            )
+    pd.DataFrame(truth).to_parquet(_IR_TRUTH, index=False)
+
+
+_materialize_ivfpq_residual_truth()
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=f"SELECT query_id, neighbor_id, adc_dist FROM '{_IR_TRUTH}'",
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ (qcflow/ann.ivfpq_residual_topk): per-row centroid
+    picked from a literal array-of-arrays, residual via zip_with, PQ
+    codes in the same codegen'd projection; search is L2 ADC per
+    (query, probed list) with per-list LUTs. Hash-gated end to end
+    against the residual construction truth (module comment)."""
+    from qcflow.ann import ivfpq_residual_topk
+
+    _materialize_ivfpq_residual_truth()
+    vec = spark.read.parquet(_IR_VEC).select("vec_id", "emb")
+    import pandas as pd
+
+    qrows = pd.read_parquet(_IR_VEC, columns=["vec_id", "emb"]).head(_IP_NQ)
+    queries = [(int(r.vec_id), np.asarray(r.emb)) for r in qrows.itertuples()]
+    out = ivfpq_residual_topk(
+        vec,
+        queries,
+        _ivfpq_centers(),
+        _ir_codebooks(),
+        k=TOP_K,
+        nprobe=_IP_NPROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist")
+    )
