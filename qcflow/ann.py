@@ -42,11 +42,15 @@ def _sq_norm(c: Column) -> Column:
     )
 
 
-def _sq_dist(emb_col: str, centroid: np.ndarray) -> Column:
+def _sq_dist_from(emb: Column, centroid: np.ndarray) -> Column:
     """|v - c|^2 up to the constant |v|^2 (same for every centroid, so it
     cancels in the argmin): -2 * dot(v, c) + |c|^2."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
-    return -2.0 * _dot(F.col(emb_col), c) + float((centroid**2).sum())
+    return -2.0 * _dot(emb, c) + float((centroid**2).sum())
+
+
+def _sq_dist(emb_col: str, centroid: np.ndarray) -> Column:
+    return _sq_dist_from(F.col(emb_col), centroid)
 
 
 def assign_clusters(
@@ -94,9 +98,15 @@ def farthest_first_init(
             .limit(1)
             .collect()
         )[0]
-        if r["_d"] <= 0.0:
+        # _d mixes a numpy-summed |c|^2 literal with Spark-fold dot terms,
+        # so an exact duplicate can land a few ulps either side of zero:
+        # compare against an epsilon scaled to the vector magnitudes, not
+        # raw <= 0 (advisor r3 finding)
+        eps = 1e-9 * (1.0 + max(float((c**2).sum()) for c in cents))
+        if r["_d"] <= eps:
             raise ValueError(
                 f"farthest_first_init: fewer than k={k} distinct vectors"
+                " (up to tolerance)"
             )
         cents.append(np.array(r[emb_col], dtype=np.float64))
     return np.stack(cents)
@@ -311,23 +321,131 @@ def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:
     return lut
 
 
+def _queries_df(
+    ref: DataFrame, queries: list[tuple[int, np.ndarray]]
+) -> DataFrame:
+    """Materialize a driver-side query list as a (query_id, q_emb)
+    DataFrame — via pandas/Arrow, which lands as a JVM LocalTableScan
+    (a plain-list createDataFrame routes through a Python RDD instead).
+    float64 round-trips bit-exactly through Arrow, so batch-path
+    arithmetic matches the driver-side pq_lut bit-for-bit."""
+    import pandas as pd
+
+    spark = ref.sparkSession
+    pdf = pd.DataFrame(
+        {
+            "query_id": [int(qid) for qid, _ in queries],
+            "q_emb": [[float(x) for x in qvec] for _, qvec in queries],
+        }
+    )
+    return spark.createDataFrame(pdf, "query_id long, q_emb array<double>")
+
+
+def _lut_ip_col(emb: Column, codebooks: np.ndarray) -> Column:
+    """In-frame ADC inner-product LUT: array<array<double>> with
+    lut[m][j] = <emb_sub_m, c_mj> as the module's sequential left fold —
+    bit-for-bit the executor twin of the driver-side ``pq_lut``. The
+    M * ks fold terms live in ONE projection over the (small) query side;
+    the codebook rides along as literals, exactly like ``pq_assign``."""
+    M, ks, dsub = codebooks.shape
+    rows = []
+    for m in range(M):
+        sub = F.slice(emb, m * dsub + 1, dsub)
+        rows.append(
+            F.array(
+                *[
+                    _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                    for c in codebooks[m]
+                ]
+            )
+        )
+    return F.array(*rows)
+
+
+def _lut_l2_col(res: Column, codebooks: np.ndarray) -> Column:
+    """In-frame L2 ADC LUT (residual PQ): lut[m][j] = ||res_sub_m -
+    c_mj||^2 as the sequential (x-y)*(x-y) fold — the executor twin of
+    ``pq_lut_l2``."""
+    M, ks, dsub = codebooks.shape
+    rows = []
+    for m in range(M):
+        sub = F.slice(res, m * dsub + 1, dsub)
+        rows.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in codebooks[m]
+                ]
+            )
+        )
+    return F.array(*rows)
+
+
+def _adc_from_lut(M: int, lut_col: str = "_lut") -> Column:
+    """Score a coded row from a joined-in LUT column: left-assoc sum of
+    lut[m][code_m] — M element_at lookups, the same add order as the
+    literal path and the fixture truth builders."""
+    score = None
+    for m in range(M):
+        term = F.element_at(
+            F.element_at(F.col(lut_col), m + 1), F.col(f"code_{m}") + 1
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: list[tuple[int, np.ndarray]],
     codebooks: np.ndarray,
     k: int = 10,
     id_col: str = "vec_id",
+    inline: bool = False,
 ) -> DataFrame:
-    """ADC top-k inner product: for each (query_id, vector), score every
-    coded row as lut_0[code_0] + ... + lut_{M-1}[code_{M-1}] (left-assoc,
-    so the float result is deterministic), then per-query top-k. Each
-    query is one projection over the codes table with its LUT inlined as
-    M literal arrays (broadcast-by-literal); the union of Q dimension-
-    sized projections reuses one scan of the codes. Returns (query_id,
-    neighbor_id, adc_score, rank)."""
+    """ADC top-k inner product: score every coded row as
+    lut_0[code_0] + ... + lut_{M-1}[code_{M-1}] (left-assoc, so the float
+    result is deterministic), then per-query top-k. Returns (query_id,
+    neighbor_id, adc_score, rank).
+
+    Default (batch) path — ONE plan for any Q: the queries become a
+    DataFrame whose LUTs are computed in-frame (``_lut_ip_col``, same
+    fold arithmetic as the driver's ``pq_lut``), broadcast-joined against
+    the codes table, and scored with M element_at lookups. One scan of
+    the codes regardless of Q; plan-gated (tests/test_plans.py) as a
+    single join with no Q-way union.
+
+    ``inline=True`` keeps the literal path (each query one projection
+    with its LUT inlined, unioned): genuinely faster for interactive
+    Q <= ~8 (no join, no broadcast), but the union branches each RESCAN
+    the codes source — Q scans, not one — so it must never see large Q."""
     if not queries:
         raise ValueError("pq_adc_topk: queries must be non-empty")
     M = codebooks.shape[0]
+    if not inline:
+        q = _queries_df(codes, queries).select(
+            "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
+        )
+        out = codes.join(
+            F.broadcast(q), F.col(id_col) != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _adc_from_lut(M).alias("adc_score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_score"), "neighbor_id"
+        )
+        return out.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     per_q = []
     for qid, qvec in queries:
         lut = pq_lut(np.asarray(qvec, dtype=np.float64), codebooks)
@@ -352,6 +470,30 @@ def pq_adc_topk(
     )
 
 
+def _probe_col(emb: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """In-frame top-``nprobe`` coarse probes (1-based cluster ids),
+    ascending squared distance with first-index tie-break — the executor
+    twin of the driver's ``np.argsort(((centroids - q)**2).sum(1))``.
+    Uses -2<q,c> + |c|^2 (the |q|^2 constant cancels in the ordering)."""
+    scores = F.array(*[_sq_dist_from(emb, c) for c in centroids])
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                    lambda i: F.struct(
+                        F.element_at(scores, i.cast("int")).alias("d"),
+                        i.cast("int").alias("idx"),
+                    ),
+                )
+            ),
+            lambda s: s["idx"],
+        ),
+        1,
+        nprobe,
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: list[tuple[int, np.ndarray]],
@@ -361,6 +503,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    inline: bool = False,
 ) -> DataFrame:
     """The production nesting: IVF coarse lists pruned first, ADC within
     the probed lists only. The corpus is stored ONCE as
@@ -368,22 +511,56 @@ def ivfpq_topk(
     M bytes/vector partitioned by list, and a query touches
     nprobe/k_lists of it, scored by LUT lookups with no vector decode.
 
-    Probes are resolved on the driver (k_lists x d is driver-sized, the
-    same trick as the LUT); each query becomes a cluster-pruned
-    projection over the codes table, so the scan prunes to the probed
-    lists before any scoring work. Non-residual PQ (codes quantize the
-    absolute vector, not v - centroid): simpler, and exact enough when
-    the codebook spans the occupied space — recall vs the exact baseline
-    is pinned in tests/test_ann_pq.py."""
+    Default (batch) path — ONE plan for any Q: queries become a
+    DataFrame, probes are resolved in-frame (``_probe_col``) and
+    exploded, the inner-product LUT is computed in-frame per query
+    (shared across its probes — absolute-space PQ), and the probe frame
+    broadcast-HASH-joins the codes table on cluster == probe: the join
+    key IS the list pruning, so at 10^12 vectors each query still
+    touches only its nprobe lists. No Q-way union, one scan.
+
+    ``inline=True`` keeps the literal path (per-query cluster-pruned
+    projections, probes + LUT resolved on the driver, unioned): faster
+    for interactive Q <= ~8, but each union branch RESCANS — and
+    re-encodes, unless the caller pre-materializes the coded frame —
+    the codes source, so it must never see large Q.
+
+    Non-residual PQ (codes quantize the absolute vector, not
+    v - centroid): simpler, and exact enough when the codebook spans the
+    occupied space — recall vs the exact baseline is pinned in
+    tests/test_ann_pq.py."""
     if not queries:
         raise ValueError("ivfpq_topk: queries must be non-empty")
+    M = codebooks.shape[0]
     coded = pq_assign(
         assign_clusters(corpus, centroids, emb_col=emb_col),
         codebooks,
         emb_col=emb_col,
         id_col=id_col,
-    ).select(id_col, "cluster", *[f"code_{m}" for m in range(codebooks.shape[0])])
-    M = codebooks.shape[0]
+    ).select(id_col, "cluster", *[f"code_{m}" for m in range(M)])
+    if not inline:
+        q = _queries_df(corpus, queries).select(
+            "query_id",
+            _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut"),
+            F.explode(
+                _probe_col(F.col("q_emb"), centroids, nprobe)
+            ).alias("probe"),
+        )
+        out = coded.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe"))
+            & (F.col(id_col) != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _adc_from_lut(M).alias("adc_score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_score"), "neighbor_id"
+        )
+        return out.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     per_q = []
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)
@@ -441,6 +618,7 @@ def ivfpq_residual_topk(
     nprobe: int = 2,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    inline: bool = False,
 ) -> DataFrame:
     """Faiss-style residual IVFPQ: each vector's RESIDUAL against its
     coarse centroid is PQ-encoded (residuals concentrate near zero, so a
@@ -449,9 +627,16 @@ def ivfpq_residual_topk(
     ||q - v||^2 ~ sum_m ||(q - c_L)_sub_m - cb_m[code_m]||^2, smaller =
     closer. The encode pass is still one codegen'd projection — the
     per-row centroid is picked from a literal array-of-arrays by the
-    cluster id, the residual is a zip_with, no shuffle, no Python. Each
-    (query, probe) pair becomes one cluster-pruned projection with its
-    own LUT literals; ranks ascend by distance."""
+    cluster id, the residual is a zip_with, no shuffle, no Python.
+
+    Default (batch) path — ONE plan for any Q: each query's probes are
+    resolved in-frame and exploded, the per-(query, probe) residual and
+    its L2 LUT are computed in the same projection, and the probe frame
+    broadcast-hash-joins the codes table on cluster == probe (the join
+    key IS the list pruning). ``inline=True`` keeps the literal path
+    (one cluster-pruned projection per (query, probe), unioned — each
+    branch RESCANS and re-encodes the source; interactive Q only).
+    Ranks ascend by distance."""
     if not queries:
         raise ValueError("ivfpq_residual_topk: queries must be non-empty")
     M = codebooks.shape[0]
@@ -470,6 +655,44 @@ def ivfpq_residual_topk(
     coded = pq_assign(res, codebooks, emb_col="_res", id_col=id_col).select(
         id_col, "cluster", *[f"code_{m}" for m in range(M)]
     )
+    if not inline:
+        q = (
+            _queries_df(corpus, queries)
+            .select(
+                "query_id",
+                "q_emb",
+                F.explode(
+                    _probe_col(F.col("q_emb"), centroids, nprobe)
+                ).alias("probe"),
+            )
+            .select(
+                "query_id",
+                "probe",
+                _lut_l2_col(
+                    F.zip_with(
+                        F.col("q_emb"),
+                        F.element_at(centers_lit, F.col("probe")),
+                        lambda x, c: x - c,
+                    ),
+                    codebooks,
+                ).alias("_lut"),
+            )
+        )
+        out = coded.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("probe"))
+            & (F.col(id_col) != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _adc_from_lut(M).alias("adc_dist"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_dist"), "neighbor_id"
+        )
+        return out.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     per_probe = []
     for qid, qvec in queries:
         q = np.asarray(qvec, dtype=np.float64)
@@ -497,3 +720,148 @@ def ivfpq_residual_topk(
     return out.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ------------------------------------------------------------- PQ training
+#
+# Faiss's recipe, Spark-shaped: the product quantizer is M independent
+# per-subspace k-means problems. Seeding runs on a driver-sized
+# deterministic sample (exactly how Faiss trains on a corpus sample);
+# every Lloyd iteration is ONE distributed pass for ALL subspaces — one
+# codegen'd pq_assign projection for the M argmins, one
+# (subspace, code, dim)-keyed groupBy whose map-side partials reduce to
+# the (M, ks, dsub) codebook on the driver. Residual training
+# (ivfpq_train) composes: coarse k-means first, then pq_train on the
+# v - center[cluster] residual column.
+
+
+def _gonzalez_np(x: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-first traversal on a driver-side sample:
+    start from sample row 0 (the hash-minimal row), repeatedly take the
+    point farthest from the chosen set (argmax ties -> first index).
+    Same 2-approximation guarantee as the distributed variant — when the
+    sample covers a mixture whose inter-center separation exceeds every
+    intra-cluster diameter, each cluster is seeded exactly once."""
+    if len(x) < k:
+        raise ValueError(f"_gonzalez_np: need k={k} rows, sample has {len(x)}")
+    scale = 1.0 + float((x**2).sum(axis=1).max())
+    mind = ((x - x[0]) ** 2).sum(axis=1)
+    idx = [0]
+    for _ in range(k - 1):
+        i = int(mind.argmax())
+        if mind[i] <= 1e-12 * scale:
+            raise ValueError(
+                f"_gonzalez_np: fewer than k={k} distinct rows in the sample"
+            )
+        idx.append(i)
+        mind = np.minimum(mind, ((x - x[i]) ** 2).sum(axis=1))
+    return x[idx].astype(np.float64)
+
+
+def pq_train(
+    df: DataFrame,
+    M: int,
+    ks: int,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    tol: float = 1e-6,
+    sample_size: int = 65536,
+) -> np.ndarray:
+    """Train the (M, ks, dsub) product-quantizer codebooks.
+
+    INIT: one deterministic hash-ordered sample (<= sample_size rows)
+    collected to the driver, Gonzalez farthest-first per subspace in
+    numpy — O(sample * ks * d) driver work, zero extra cluster jobs.
+    ITERATE: per Lloyd step, pq_assign encodes ALL subspaces in one
+    codegen'd projection, then a single (m, code, dim) groupBy averages
+    sub-vectors — one shuffle per iteration regardless of M, driver
+    traffic M*ks*dsub doubles. Empty codes keep their previous
+    sub-centroid. Deterministic given the data and id column."""
+    first = df.select(emb_col).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train: empty input")
+    d = len(first[0][0])
+    if d % M != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by M={M}")
+    dsub = d // M
+    sample = (
+        df.select(id_col, emb_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r[emb_col] for r in sample], dtype=np.float64)
+    cbs = np.empty((M, ks, dsub), dtype=np.float64)
+    for m in range(M):
+        cbs[m] = _gonzalez_np(x[:, m * dsub : (m + 1) * dsub], ks)
+
+    data = df.select(id_col, emb_col)
+    for _ in range(n_iter):
+        assigned = pq_assign(data, cbs, emb_col=emb_col, id_col=id_col)
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.col(f"code_{m}").alias("j"),
+                    F.slice(F.col(emb_col), m * dsub + 1, dsub).alias("sub"),
+                )
+                for m in range(M)
+            ]
+        )
+        rows = (
+            assigned.select(F.explode(parts).alias("s"))
+            .select("s.m", "s.j", F.posexplode("s.sub").alias("dim", "val"))
+            .groupBy("m", "j", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new = cbs.copy()  # empty codes keep their sub-centroid
+        for r in rows:
+            new[r["m"], r["j"], r["dim"]] = r["mean"]
+        shift = float(np.abs(new - cbs).max())
+        cbs = new
+        if shift < tol:
+            break
+    return cbs
+
+
+def ivfpq_train(
+    df: DataFrame,
+    k_coarse: int,
+    M: int,
+    ks: int,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    coarse_iter: int = 10,
+    pq_iter: int = 10,
+    sample_size: int = 65536,
+    coarse_init: str = "farthest",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the full residual-IVFPQ index: coarse k-means over the raw
+    vectors, then pq_train over the v - center[cluster] RESIDUAL column
+    (computed in the same projection that assigns the cluster — the
+    per-row center is an element_at into a literal array-of-arrays).
+    Returns (centers (k_coarse, d), codebooks (M, ks, dsub)) — the
+    inputs ivfpq_residual_topk searches with."""
+    centers = kmeans_fit(
+        df, k_coarse, emb_col=emb_col, id_col=id_col,
+        n_iter=coarse_iter, init=coarse_init,
+    )
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+    )
+    res = assign_clusters(df, centers, emb_col=emb_col).withColumn(
+        "_res",
+        F.zip_with(
+            F.col(emb_col),
+            F.element_at(centers_lit, F.col("cluster")),
+            lambda x, c: x - c,
+        ),
+    )
+    cbs = pq_train(
+        res, M, ks, emb_col="_res", id_col=id_col,
+        n_iter=pq_iter, sample_size=sample_size,
+    )
+    return centers, cbs
