@@ -24,3 +24,4 @@ from qcflow.parity import pmis_q  # noqa: F401, E402
 from qcflow.parity import functions_q  # noqa: F401, E402
 from qcflow.parity import audio_q  # noqa: F401, E402
 from qcflow.parity import sources_q  # noqa: F401, E402
+from qcflow.parity import streaming_q  # noqa: F401, E402

@@ -932,3 +932,272 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist")
     )
+
+
+# ----------------------------------------- PQ TRAINING construction truth
+#
+# Gates qcflow/ann.pq_train (sample-Gonzalez seeding + one-shuffle-per-
+# iteration Lloyd over all subspaces) label-permutation-free, the
+# ann_kmeans_assign pattern lifted to per-subspace partitions: vectors
+# are planted as a chosen sub-centroid per subspace plus noise far below
+# half the minimum intra-subspace centroid separation, and — unlike the
+# ann_pq fixture — each subspace gets a DIFFERENT partition of the rows
+# (mixed base-ks digit functions of vec_id), so swapping subspace
+# outputs cannot go unnoticed. The gated output is the min-vec_id
+# representative of each row's trained code group per subspace; with
+# margins the trained partition provably equals the planted one, so the
+# representative equals the planted truth column regardless of how
+# k-means permuted the code labels. DuckDB reads ONLY the truth.
+
+_PT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_pq_train",
+)
+_PT_VEC = os.path.join(_PT_DIR, "vectors_v1.parquet")
+
+
+def _pt_codebooks() -> np.ndarray:
+    return np.round(
+        np.random.default_rng(9273).normal(0.0, 1.0, (_PQ_M, _PQ_KS, _PQ_DSUB)), 6
+    )
+
+
+def _pt_codes(n: int) -> np.ndarray:
+    """A different row partition per subspace (base-ks digit mixes), so
+    the per-subspace gates are independent."""
+    i = np.arange(n)
+    hi = i // _PQ_KS
+    cols = [
+        i % _PQ_KS,
+        hi % _PQ_KS,
+        (i + hi) % _PQ_KS,
+        (5 * i + 3 * hi) % _PQ_KS,
+    ]
+    return np.stack(cols[: _PQ_M], axis=1).astype(np.int64)
+
+
+def _materialize_pq_train_truth() -> None:
+    if os.path.exists(_PT_VEC):
+        return
+    import pandas as pd
+
+    os.makedirs(_PT_DIR, exist_ok=True)
+    cb = _pt_codebooks()
+    for m in range(_PQ_M):
+        d2 = (
+            ((cb[m][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            + np.eye(_PQ_KS) * 1e9
+        )
+        min_sep = float(np.sqrt(d2.min()))
+        assert _PQ_NOISE * 8 * np.sqrt(_PQ_DSUB) < min_sep / 2, (m, min_sep)
+    rng = np.random.default_rng(3511)
+    codes = _pt_codes(_PQ_N)
+    assert all(
+        len(np.unique(codes[:, m])) == _PQ_KS for m in range(_PQ_M)
+    ), "every code must be occupied in every subspace"
+    emb = np.empty((_PQ_N, _PQ_M * _PQ_DSUB))
+    for m in range(_PQ_M):
+        emb[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = cb[m][codes[:, m]]
+    emb = np.round(emb + rng.normal(0.0, _PQ_NOISE, emb.shape), 6)
+    reps = np.empty_like(codes)
+    ids = np.arange(_PQ_N)
+    for m in range(_PQ_M):
+        first = {j: int(ids[codes[:, m] == j].min()) for j in range(_PQ_KS)}
+        reps[:, m] = [first[int(c)] for c in codes[:, m]]
+    pd.DataFrame(
+        {
+            "vec_id": ids.astype(np.int64),
+            "emb": [row.tolist() for row in emb],
+            **{
+                f"true_rep_{m}": reps[:, m].astype(np.int64)
+                for m in range(_PQ_M)
+            },
+        }
+    ).to_parquet(_PT_VEC, index=False)
+
+
+_materialize_pq_train_truth()
+
+
+@query(
+    "ann_pq_train",
+    oracle=f"SELECT vec_id, "
+    + ", ".join(f"true_rep_{m} AS rep_{m}" for m in range(_PQ_M))
+    + f" FROM '{_PT_VEC}'",
+)
+def ann_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantizer, gated on the partition it recovers:
+    pq_train seeds each subspace by farthest-first on a deterministic
+    hash sample and runs Lloyd with ONE pq_assign projection + ONE
+    (subspace, code, dim) groupBy per iteration; the fixture's planted
+    margins (module comment) make the recovered per-subspace partition
+    provably equal the planted one, and the min-vec_id representative
+    makes the gate label-permutation-free."""
+    from qcflow.ann import pq_assign, pq_train
+
+    _materialize_pq_train_truth()
+    vec = spark.read.parquet(_PT_VEC).select("vec_id", "emb")
+    cb = pq_train(vec, M=_PQ_M, ks=_PQ_KS, n_iter=3, sample_size=100_000)
+    coded = pq_assign(vec, cb)
+    out = coded.select("vec_id", *[f"code_{m}" for m in range(_PQ_M)])
+    for m in range(_PQ_M):
+        w = Window.partitionBy(f"code_{m}")
+        out = out.withColumn(f"rep_{m}", F.min("vec_id").over(w))
+    return out.select("vec_id", *[f"rep_{m}" for m in range(_PQ_M)])
+
+
+# ----------------------------- fully-TRAINED residual IVFPQ, rank-gated
+#
+# The end-to-end trained pipeline (ivfpq_train: coarse Lloyd k-means ->
+# per-subspace residual pq_train -> batch ivfpq_residual_topk search)
+# cannot be gated on ADC distance VALUES — trained centroids are data
+# means, not the planted codebook — so the gate is the per-query
+# neighbor RANK list, provable because the fixture is built so the
+# trained index reproduces the planted geometry to ~1e-12:
+#
+# - ZERO planted noise: every vector is exactly center[cluster] +
+#   cb[m][code_m] per subspace, so each per-(subspace, code) residual
+#   group is a single point (up to ~1e-15 float-sum effects) and the
+#   trained sub-centroid equals the planted one minus the cluster-mean
+#   residual mu.
+# - CODE-BALANCED clusters: within each coarse cluster every code value
+#   appears equally often in every subspace (Latin-square digit
+#   functions of the row index), so the mean residual mu is the SAME
+#   constant for every cluster -> the trained coarse center is exactly
+#   planted center + mu, and mu CANCELS in the trained ADC distance:
+#   ||(q - (c+mu)) - (cb - mu)||^2 = ||(q - c) - cb||^2. Trained
+#   distances equal planted distances up to ~1e-12 aggregation drift.
+# - The builder ASSERTS every adjacent pair in each query's candidate
+#   distance spectrum differs by > 1e-6 (unique (probe, code-tuple) per
+#   candidate -> no ties at all), and that coarse probe-selection gaps
+#   against the mu-shifted centers exceed 1e-3 — both orders of
+#   magnitude above the drift, so the trained ranks provably equal the
+#   planted truth.
+
+_RT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "ann_ivfpq_trained",
+)
+_RT_VEC = os.path.join(_RT_DIR, "vectors_v2.parquet")
+_RT_TRUTH = os.path.join(_RT_DIR, "truth_v2.parquet")
+_RT_PER = 64  # rows per coarse cluster (8x8 digit square -> balanced codes)
+_RT_N = _IP_NCL * _RT_PER
+_RT_MIN_GAP = 1e-6
+_RT_PROBE_GAP = 1e-3
+
+
+def _rt_codebooks() -> np.ndarray:
+    return np.round(
+        np.random.default_rng(8117).normal(0.0, 1.0, (_PQ_M, _PQ_KS, _PQ_DSUB)), 6
+    )
+
+
+def _rt_codes() -> np.ndarray:
+    """Per-cluster Latin-square digit codes: row r (0..63) of each
+    cluster gets (a, b, a+b, a+3b) mod 8 with a = r % 8, b = r // 8 —
+    every code value appears exactly 8 times per subspace per cluster
+    (the balance that makes the cluster-mean residual constant), and
+    every (cluster, tuple) is unique (no distance ties at all)."""
+    r = np.arange(_RT_PER)
+    a, b = r % _PQ_KS, r // _PQ_KS
+    block = np.stack([a, b, (a + b) % _PQ_KS, (a + 3 * b) % _PQ_KS], axis=1)
+    return np.tile(block, (_IP_NCL, 1)).astype(np.int64)
+
+
+def _materialize_ivfpq_trained_truth() -> None:
+    if os.path.exists(_RT_VEC) and os.path.exists(_RT_TRUTH):
+        return
+    import pandas as pd
+
+    from qcflow.ann import pq_lut_l2
+
+    os.makedirs(_RT_DIR, exist_ok=True)
+    cb = _rt_codebooks()
+    centers = _ivfpq_centers()
+    clusters = np.repeat(np.arange(_IP_NCL), _RT_PER)
+    codes = _rt_codes()
+    resid = np.empty((_RT_N, _PQ_M * _PQ_DSUB))
+    for m in range(_PQ_M):
+        resid[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = cb[m][codes[:, m]]
+    emb = centers[clusters] + resid  # ZERO noise (see module comment)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(_RT_N, dtype=np.int64),
+            "emb": [row.tolist() for row in emb],
+            "true_cluster": clusters,
+        }
+    ).to_parquet(_RT_VEC, index=False)
+
+    # the trained coarse centers are planted + mu (mu = mean residual,
+    # identical per cluster by balance); probe SELECTION therefore runs
+    # against the mu-shifted centers — mu cancels in the distances
+    mu = np.concatenate([cb[m].mean(axis=0) for m in range(_PQ_M)])
+    shifted = centers + mu
+    truth = []
+    q_ids = [c * _RT_PER for c in range(_IP_NCL)]
+    for q in q_ids:
+        d2c = np.sort(((shifted - emb[q]) ** 2).sum(axis=1))
+        assert float(np.diff(d2c).min()) > _RT_PROBE_GAP, d2c
+        probes = [
+            int(i)
+            for i in np.argsort(((shifted - emb[q]) ** 2).sum(axis=1))[:_IP_NPROBE]
+        ]
+        scored = []
+        for probe in probes:
+            lut = pq_lut_l2(emb[q] - centers[probe], cb)
+            for v in range(_RT_N):
+                if v == q or int(clusters[v]) != probe:
+                    continue
+                s = lut[0][codes[v, 0]]
+                for m in range(1, _PQ_M):
+                    s = s + lut[m][codes[v, m]]
+                scored.append((v, s))
+        scored.sort(key=lambda p: (p[1], p[0]))
+        gaps = np.diff([s for _, s in scored])
+        assert float(gaps.min()) > _RT_MIN_GAP, float(gaps.min())
+        for rank, (nb, _s) in enumerate(scored[:TOP_K], start=1):
+            truth.append(
+                {
+                    "query_id": np.int64(q),
+                    "neighbor_id": np.int64(nb),
+                    "rank": np.int64(rank),
+                }
+            )
+    pd.DataFrame(truth).to_parquet(_RT_TRUTH, index=False)
+
+
+_materialize_ivfpq_trained_truth()
+
+
+@query(
+    "ann_ivfpq_residual_trained",
+    oracle=f"SELECT query_id, neighbor_id, rank FROM '{_RT_TRUTH}'",
+)
+def ann_ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-TRAINED residual IVFPQ pipeline, hash-gated end to end
+    on neighbor ranks: ivfpq_train runs distributed coarse k-means
+    (farthest-first seeding) and per-subspace residual pq_train (sample
+    Gonzalez + one-shuffle Lloyd), then ivfpq_residual_topk searches
+    through the batch single-join path. The zero-noise code-balanced
+    construction (module comment) makes the trained index's distances
+    equal the planted ones to ~1e-12, six orders below the asserted
+    spectrum gaps — so the rank lists are provably identical."""
+    from qcflow.ann import ivfpq_residual_topk, ivfpq_train
+
+    _materialize_ivfpq_trained_truth()
+    vec = spark.read.parquet(_RT_VEC).select("vec_id", "emb")
+    cents, cbs = ivfpq_train(
+        vec, k_coarse=_IP_NCL, M=_PQ_M, ks=_PQ_KS,
+        coarse_iter=3, pq_iter=3, sample_size=100_000,
+    )
+    import pandas as pd
+
+    qpdf = pd.read_parquet(_RT_VEC, columns=["vec_id", "emb"])
+    qpdf = qpdf[qpdf.vec_id % _RT_PER == 0]
+    queries = [(int(r.vec_id), np.asarray(r.emb)) for r in qpdf.itertuples()]
+    out = ivfpq_residual_topk(
+        vec, queries, cents, cbs, k=TOP_K, nprobe=_IP_NPROBE
+    )
+    return out.select("query_id", "neighbor_id", "rank")
