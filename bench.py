@@ -141,6 +141,49 @@ def main() -> int:
         )
     queries["qc_resume_4increments"] = round(time.time() - t0, 3)
 
+    # --- ANN search throughput ------------------------------------------
+    # Trained-IVF probe-join search (qcflow/ann.ivf_topk) at Q=100 over
+    # the sf embeddings table: the broadcast-probes hash join + exact
+    # rerank path (VERDICT r3 #8 asked for a measured search number).
+    import numpy as np
+
+    from qcflow.ann import ivf_topk, kmeans_fit, pq_adc_topk, pq_assign
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    centroids = kmeans_fit(emb, k=16, id_col="vec_id", n_iter=4)
+    qs = emb.filter(F.col("vec_id") < 100)
+    ivf_topk(emb, qs, centroids, k=10, nprobe=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["ann_ivf_search_q100"] = round(time.time() - t0, 3)
+
+    # Batch-ADC PQ search (the r4 single-join reformulation) at Q=1000:
+    # encode the corpus with a fixed codebook, then one broadcast join
+    # scores every (query, code-row) pair via in-frame LUTs.
+    rng = np.random.default_rng(99)
+    cb = np.round(rng.normal(0.0, 1.0, (8, 16, 8)), 6)  # M=8, ks=16, dsub=8
+    codes = pq_assign(emb, cb).select(
+        "vec_id", *[f"code_{m}" for m in range(8)]
+    ).localCheckpoint(eager=True)
+    adc_queries = [
+        (100_000 + i, rng.normal(0.0, 1.0, 64)) for i in range(1000)
+    ]
+    t0 = time.time()
+    pq_adc_topk(codes, adc_queries, cb, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["ann_pq_adc_batch_q1000"] = round(time.time() - t0, 3)
+    emb.unpersist()
+    codes.unpersist()
+
     # --- skew demonstration on the metrics shapes ------------------------
     # 4M rows, 70% on one key (the clip table's Zipf language shape).
     # Measured findings recorded in BENCH/BASELINE.md:

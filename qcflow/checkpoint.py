@@ -46,10 +46,9 @@ from qcflow.pipeline import (
 )
 from qcflow.rules import Thresholds, derive_thresholds
 from qcflow.summary import (
-    cube_conf_histogram,
-    cube_drop_reasons,
     cube_lineage,
     metrics_grains,
+    metrics_partials,
     quantile_metrics,
 )
 from qcflow.features import clip_features
@@ -114,11 +113,34 @@ def valid_pairs(
     )
 
 
+def _lineage_pandas(out_dir: str):
+    """Driver-side read of the (manifest-sized) lineage table via
+    pyarrow — the resume bookkeeping (completed buckets, snapshot
+    allocation) needs only scalars/id-lists from a table bounded by
+    attempts x buckets, and a pandas read skips two full Spark job
+    round-trips per increment (measured ~0.7 s of the r3 fixed cost).
+    Returns None when no manifest exists yet."""
+    import glob
+
+    path = f"{out_dir}/lineage.parquet"
+    if not glob.glob(f"{path}/**/*.parquet", recursive=True):
+        return None
+    import pandas as pd
+
+    return pd.read_parquet(path)
+
+
 def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
-    vp = valid_pairs(spark, out_dir)
-    if vp is None:
+    """Buckets with a committed lineage row at-or-after their latest
+    'replace' (the same cutoff rule as valid_pairs, evaluated on the
+    driver-side manifest)."""
+    lin = _lineage_pandas(out_dir)
+    if lin is None or not len(lin):
         return []
-    return [r["bucket"] for r in vp.select("bucket").distinct().collect()]
+    rep = lin[lin["kind"] == "replace"].groupby("bucket")["snapshot_id"].max()
+    cut = lin["bucket"].map(rep)
+    live = lin[cut.isna() | (lin["snapshot_id"] >= cut)]
+    return sorted(int(b) for b in live["bucket"].unique())
 
 
 def next_snapshot_id(spark: SparkSession, out_dir: str) -> int:
@@ -134,12 +156,10 @@ def next_snapshot_id(spark: SparkSession, out_dir: str) -> int:
     if os.path.exists(path):
         with open(path) as f:
             prev = int(f.read().strip())
-    lin = _read_lineage(spark, out_dir)
-    if lin is not None:
+    lin = _lineage_pandas(out_dir)
+    if lin is not None and len(lin):
         # belt-and-braces for manifests created before the counter existed
-        mx = lin.agg(F.max("snapshot_id")).collect()[0][0]
-        if mx is not None:
-            prev = max(prev, int(mx))
+        prev = max(prev, int(lin["snapshot_id"].max()))
     nxt = prev + 1
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -186,13 +206,21 @@ def _read_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
         raise
 
 
-def read_committed(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    vp: DataFrame | None = None,
+) -> DataFrame:
     """Snapshot-isolated read of kept/dropped: rows whose (snapshot_id,
     bucket) pair is committed in the manifest. Dead rows from crashed
     attempts and pre-replace snapshots are invisible — the Iceberg
-    read-path contract over plain parquet."""
+    read-path contract over plain parquet. Pass ``vp`` (a precomputed,
+    ideally localCheckpoint'ed valid_pairs frame) when several reads
+    share one manifest view — each read otherwise re-derives it."""
     rows = _read_table(spark, out_dir, table)
-    vp = valid_pairs(spark, out_dir)
+    if vp is None:
+        vp = valid_pairs(spark, out_dir)
     if vp is None:
         return rows.limit(0)
     return rows.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
@@ -229,58 +257,82 @@ def _write_attempt(
     commit it with the lineage append (strictly last — the commit point).
     ``all_buckets`` forces a lineage row for every listed bucket even if
     it produced zero rows, so sparse inputs still mark buckets complete
-    and resume stays a no-op. Returns the committed lineage rows."""
+    and resume stays a no-op. Returns the committed lineage rows.
+
+    Fixed-cost shape (the r4 resumable-increment fix — this path runs
+    once per increment, so job count matters as much as row count):
+    ONE bucket shuffle staged+persisted feeds BOTH table writes (they
+    were two separate shuffles); the three metric partial grains land as
+    ONE long-form append (summary.metrics_partials) instead of three
+    serial dimension-sized jobs; and the lineage commit is a driver-side
+    collect of the (bucket-count-sized) cube_lineage frame written as a
+    local relation — the collect IS the compute-before-commit, replacing
+    an eager localCheckpoint job + a distributed write."""
+    import pandas as pd
+
     spark = scored.sparkSession
     snap = F.lit(snapshot_id).cast("long").alias("snapshot_id")
-    kept = scored.filter(F.col("keep")).select(*KEEP_COLS, snap)
-    dropped = scored.filter(~F.col("keep")).select(*DROP_COLS, snap)
-    kept.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+    staged = scored.repartition("bucket").persist()
+    kept = staged.filter(F.col("keep")).select(*KEEP_COLS, snap)
+    dropped = staged.filter(~F.col("keep")).select(*DROP_COLS, snap)
+    # already bucket-partitioned: each task holds one bucket, so the
+    # partitioned writes emit one file per bucket without re-shuffling.
+    # The kept write materializes the staged cache; everything after it
+    # is latency-bound reads of that cache (or of the checkpointed
+    # metrics grains), so the remaining jobs run from a thread pool.
+    kept.write.mode("append").partitionBy("bucket").parquet(
         f"{out_dir}/kept.parquet"
-    )
-    dropped.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-        f"{out_dir}/dropped.parquet"
     )
     # metric partials, keyed by (snapshot_id, bucket) so a later bucket
     # replace invalidates exactly the right slice on read; all partials
     # and the lineage rows derive from ONE grouping-sets aggregate over
-    # the scored frame (both grains, one shuffle). The perplexity grain
+    # the staged frame (both grains, one shuffle). The perplexity grain
     # is the fixed log-edge quantile sketch — sum-mergeable, so per-lang
     # p50/p99 never rescan history OR buffer a hot language's raw values
     # on one reducer (the exact-percentile skew anti-pattern,
     # BENCH/BASELINE.md 5.6x lesson).
-    cube, ppl_hist = metrics_grains(scored)
-    cube_drop_reasons(cube, "bucket", "lang").select(
-        snap, "bucket", "lang", "drop_reason", "n"
-    ).coalesce(1).write.mode("append").parquet(
-        f"{out_dir}/metrics_drop_reasons_partials.parquet"
-    )
-    cube_conf_histogram(cube, "bucket").select(
-        snap, "bucket", "lang", "conf_bin", "n"
-    ).coalesce(1).write.mode("append").parquet(
-        f"{out_dir}/metrics_lang_conf_partials.parquet"
-    )
-    ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n").coalesce(
-        1
-    ).write.mode("append").parquet(f"{out_dir}/metrics_ppl_hist_partials.parquet")
+    cube, ppl_hist = metrics_grains(staged)
+    from concurrent.futures import ThreadPoolExecutor
 
-    lin = cube_lineage(cube)
-    if all_buckets is not None:
-        todo_df = spark.createDataFrame(
-            [(int(b),) for b in all_buckets], "bucket int"
-        )
-        lin = (
-            todo_df.join(lin, "bucket", "left")
-            .na.fill(0, ["n_input", "n_kept", "n_dropped"])
-        )
-    lin = lin.select(
-        F.lit(snapshot_id).cast("long").alias("snapshot_id"),
-        F.lit(kind).alias("kind"),
-        "bucket",
-        "n_input",
-        "n_kept",
-        "n_dropped",
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(
+                lambda: dropped.write.mode("append")
+                .partitionBy("bucket")
+                .parquet(f"{out_dir}/dropped.parquet")
+            ),
+            ex.submit(
+                lambda: metrics_partials(cube, ppl_hist)
+                .select(snap, "kind", "bucket", "lang", "drop_reason", "bin", "n")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{out_dir}/metrics_partials.parquet")
+            ),
+            ex.submit(lambda: cube_lineage(cube).collect()),
+        ]
+        _, _, lin_rows = [f.result() for f in futs]
+    staged.unpersist()
+
+    by_bucket = {
+        int(r["bucket"]): (int(r["n_input"]), int(r["n_kept"]), int(r["n_dropped"]))
+        for r in lin_rows  # computed BEFORE the commit (pool above)
+    }
+    buckets = sorted(
+        set(by_bucket) | {int(b) for b in (all_buckets or [])}
     )
-    lin = lin.localCheckpoint(eager=True)  # compute BEFORE the commit write
+    rows = [
+        (snapshot_id, kind, b, *by_bucket.get(b, (0, 0, 0))) for b in buckets
+    ]
+    lin = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "snapshot_id", "kind", "bucket", "n_input", "n_kept", "n_dropped",
+            ],
+        ),
+        "snapshot_id long, kind string, bucket int, "
+        "n_input long, n_kept long, n_dropped long",
+    )
     lin.write.mode("append").parquet(f"{out_dir}/lineage.parquet")  # COMMIT
     return lin
 
@@ -327,6 +379,7 @@ def run_resumable(
         n_buckets=n_buckets,
         check_pcm=check_pcm,
         check_acoustics=check_acoustics,
+        persist_scored=False,  # _write_attempt's bucket-staged persist is the one materialization
     )
     snap = next_snapshot_id(spark, out_dir)
     _write_attempt(res.scored, out_dir, snap, "append", all_buckets=todo)
@@ -339,48 +392,86 @@ def run_resumable(
 
 # ----------------------------------------------------------------- metrics
 
-def read_metrics(spark: SparkSession, out_dir: str, which: str) -> DataFrame:
+# reader-side view of the long-form unified partials table: kind filter
+# plus (output key name, stored key column) — names only, no Column
+# expressions at module level (PySpark 4 needs an active session)
+_PARTIAL_VIEWS = {
+    "drop_reasons": ("drop_reason", "drop_reason"),
+    "lang_conf": ("conf_bin", "bin"),
+    "ppl_hist": ("ppl_bin", "bin"),
+}
+
+
+def read_metrics(
+    spark: SparkSession,
+    out_dir: str,
+    which: str,
+    vp: DataFrame | None = None,
+) -> DataFrame:
     """Merged metrics view from committed partials ONLY — the plan reads
-    the (dimension x attempts)-sized partial tables and the manifest,
-    never the kept/dropped history. ``which`` is 'drop_reasons' or
-    'lang_conf'."""
-    vp = valid_pairs(spark, out_dir)
-    name, dims = {
-        "drop_reasons": ("metrics_drop_reasons_partials", ["lang", "drop_reason"]),
-        "lang_conf": ("metrics_lang_conf_partials", ["lang", "conf_bin"]),
-        "ppl_hist": ("metrics_ppl_hist_partials", ["lang", "ppl_bin"]),
-    }[which]
-    partials = spark.read.parquet(f"{out_dir}/{name}.parquet")
+    the (dimension x attempts)-sized unified partials table and the
+    manifest, never the kept/dropped history. ``which`` is
+    'drop_reasons', 'lang_conf' or 'ppl_hist'; ``vp`` as in
+    read_committed."""
+    if vp is None:
+        vp = valid_pairs(spark, out_dir)
+    dim, key = _PARTIAL_VIEWS[which]
+    partials = spark.read.parquet(f"{out_dir}/metrics_partials.parquet").filter(
+        F.col("kind") == which
+    )
     if vp is not None:
         partials = partials.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
-    return partials.groupBy(*dims).agg(F.sum("n").alias("n"))
+    return (
+        partials.select("lang", F.col(key).alias(dim), "n")
+        .groupBy("lang", dim)
+        .agg(F.sum("n").alias("n"))
+    )
 
 
-def read_quantile_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_quantile_metrics(
+    spark: SparkSession, out_dir: str, vp: DataFrame | None = None
+) -> DataFrame:
     """Per-lang quantile metrics from the committed partials: p50/p99 of
-    perplexity (log-edge sketch, metrics_ppl_hist_partials) and of
-    langid confidence (the existing 20-bin conf histogram). The plan
-    reads only partials + manifest; the quantile walk runs on
-    (lang x bins)-sized merged frames (summary.quantile_metrics)."""
+    perplexity (log-edge sketch) and of langid confidence (the 20-bin
+    conf histogram). The plan reads only partials + manifest; the
+    quantile walk runs on (lang x bins)-sized merged frames
+    (summary.quantile_metrics)."""
+    if vp is None:
+        vp = valid_pairs(spark, out_dir)
     return quantile_metrics(
-        read_metrics(spark, out_dir, "ppl_hist"),
-        read_metrics(spark, out_dir, "lang_conf"),
+        read_metrics(spark, out_dir, "ppl_hist", vp=vp),
+        read_metrics(spark, out_dir, "lang_conf", vp=vp),
     )
 
 
 def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
     """Materialize the merged metrics side tables (same schemas as
-    pipeline.write_outputs). Cost is O(partials), not O(history)."""
-    read_metrics(spark, out_dir, "drop_reasons").write.mode("overwrite").parquet(
-        f"{out_dir}/metrics_drop_reasons.parquet"
-    )
-    read_metrics(spark, out_dir, "lang_conf").write.mode("overwrite").parquet(
-        f"{out_dir}/metrics_lang_conf.parquet"
-    )
-    if os.path.exists(f"{out_dir}/metrics_ppl_hist_partials.parquet"):
-        read_quantile_metrics(spark, out_dir).write.mode("overwrite").parquet(
-            f"{out_dir}/metrics_quantiles.parquet"
+    pipeline.write_outputs). Cost is O(partials), not O(history): one
+    shared (localCheckpoint'ed) manifest view feeds all three reads, and
+    the dimension-sized writes are submitted from a thread pool (the
+    same latency-hiding that took write_outputs 16 s -> 4.6 s in r3)."""
+    vp = valid_pairs(spark, out_dir)
+    if vp is not None:
+        vp = vp.localCheckpoint(eager=True)
+    writes = [
+        lambda: read_metrics(spark, out_dir, "drop_reasons", vp=vp)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/metrics_drop_reasons.parquet"),
+        lambda: read_metrics(spark, out_dir, "lang_conf", vp=vp)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
+    ]
+    if os.path.exists(f"{out_dir}/metrics_partials.parquet"):
+        writes.append(
+            lambda: read_quantile_metrics(spark, out_dir, vp=vp)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/metrics_quantiles.parquet")
         )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for fut in [ex.submit(w) for w in writes]:
+            fut.result()
 
 
 # --------------------------------------------------------------- increment
@@ -406,18 +497,26 @@ def process_increment(
         # first load: just run the resumable path
         return run_resumable(spark, clips_path, out_dir, n_buckets=n_buckets)
 
-    if valid_pairs(spark, out_dir) is None:
+    vp = valid_pairs(spark, out_dir)
+    if vp is None:
         # thresholds saved but nothing ever committed (first attempt died
         # before its commit): everything is new
         new = clips
     else:
+        # one manifest view shared by both committed reads (and pinned,
+        # so the broadcast build is not re-derived per branch)
+        vp = vp.localCheckpoint(eager=True)
         seen = (
-            read_committed(spark, out_dir, "kept")
+            read_committed(spark, out_dir, "kept", vp=vp)
             .select("clip_id")
-            .unionByName(read_committed(spark, out_dir, "dropped").select("clip_id"))
+            .unionByName(
+                read_committed(spark, out_dir, "dropped", vp=vp).select("clip_id")
+            )
         )
         new = clips.join(seen, "clip_id", "left_anti")
-    res = score_clips(spark, new, thresholds=thr, n_buckets=n_buckets)
+    res = score_clips(
+        spark, new, thresholds=thr, n_buckets=n_buckets, persist_scored=False
+    )
     # The scored plan READS kept/dropped (the anti-join) and we are about to
     # APPEND to them — materialize and cut the lineage first, or the later
     # actions re-evaluate against their own output (self-referential
@@ -455,7 +554,9 @@ def merge_replace_buckets(
     subset = clips.withColumn("bucket", bucket_col(n_buckets)).filter(
         F.col("bucket").isin([int(b) for b in buckets])
     ).drop("bucket")
-    res = score_clips(spark, subset, thresholds=thr, n_buckets=n_buckets)
+    res = score_clips(
+        spark, subset, thresholds=thr, n_buckets=n_buckets, persist_scored=False
+    )
     snap = next_snapshot_id(spark, out_dir)
     _write_attempt(
         res.scored, out_dir, snap, "replace", all_buckets=[int(b) for b in buckets]
@@ -526,20 +627,14 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         _swap_in(tmp, f"{out_dir}/{table}.parquet")
     if vp is None:
         return stats
-    for name in (
-        "metrics_drop_reasons_partials",
-        "metrics_lang_conf_partials",
-        "metrics_ppl_hist_partials",
-    ):
-        path = f"{out_dir}/{name}.parquet"
-        if not os.path.exists(path):
-            continue  # manifests from before this partials table existed
+    path = f"{out_dir}/metrics_partials.parquet"
+    if os.path.exists(path):
         live = (
             spark.read.parquet(path)
             .join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
             .localCheckpoint(eager=True)
         )
-        stats[name] = live.count()
+        stats["metrics_partials"] = live.count()
         tmp = path + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         live.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -47,6 +47,7 @@ from qcflow.summary import (
     cube_drop_reasons,
     cube_lineage,
     metrics_grains,
+    metrics_partials,
     quantile_metrics,
 )
 from qcflow.udfs import with_langid_ppl
@@ -90,6 +91,7 @@ def score_clips(
     thresholds: Thresholds | None = None,
     slim_stage: bool = True,
     stage_mode: str = "parquet",
+    persist_scored: bool = True,
 ) -> QcResult:
     """Run features + models + rules + scrub; returns the scored frame
     (persisted) and the derived thresholds. ``check_acoustics`` adds the
@@ -184,7 +186,12 @@ def score_clips(
         stage_dir = tempfile.mkdtemp(prefix="qcflow_stage_")
         df.write.mode("overwrite").parquet(f"{stage_dir}/scored.parquet")
         df = spark.read.parquet(f"{stage_dir}/scored.parquet")
-    else:
+    elif persist_scored or thresholds is None:
+        # persist_scored=False is the checkpoint path's hint that IT will
+        # materialize the frame exactly once (the bucket-staged persist
+        # in _write_attempt) — double caching cost ~0.4 s/increment.
+        # Deriving thresholds always forces the persist: the derive
+        # action would otherwise recompute the UDF chain downstream.
         df = cached = df.persist()
     thr = thresholds or derive_thresholds(df, exact=exact_thresholds)
     extra = []
@@ -243,7 +250,7 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         "n_dropped",
     )
 
-    # the nine outputs are independent jobs over already-materialized
+    # the seven outputs are independent jobs over already-materialized
     # inputs (the persisted scored frame / the checkpointed grains):
     # submit them from a thread pool so the dimension-sized metric
     # writes (latency-bound: a couple of tiny tasks + driver round
@@ -268,20 +275,11 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         .coalesce(1)
         .write.mode(mode)
         .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
-        lambda: cube_drop_reasons(cube, "bucket", "lang")
-        .select(snap, "bucket", "lang", "drop_reason", "n")
+        lambda: metrics_partials(cube, ppl_hist)
+        .select(snap, "kind", "bucket", "lang", "drop_reason", "bin", "n")
         .coalesce(1)
         .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_drop_reasons_partials.parquet"),
-        lambda: cube_conf_histogram(cube, "bucket")
-        .select(snap, "bucket", "lang", "conf_bin", "n")
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_lang_conf_partials.parquet"),
-        lambda: ppl_hist.select(snap, "bucket", "lang", "ppl_bin", "n")
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_ppl_hist_partials.parquet"),
+        .parquet(f"{out_dir}/metrics_partials.parquet"),
         lambda: quantile_metrics(
             ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
             cube_conf_histogram(cube),

@@ -260,7 +260,18 @@ def outlier_breakdowns(
     then the A4 kernel, bin-index ordered — H:623-660) and the raw
     time-gap-days dimension sorted by outlier count (H:713-723). Rows
     whose value falls outside the bin edges (NULL bin) are excluded,
-    matching pd.cut's NaN-group drop."""
+    matching pd.cut's NaN-group drop.
+
+    INTENTIONAL divergence from the reference (advisor r3): the
+    reference's categorical groupby (observed=False, H:630-637) emits a
+    row for every bin LABEL even when no outlier landed in it
+    (count_out=0), because its charts want empty bars; this kernel's
+    aggregate-then-broadcast-join shape emits only bins that contain
+    outliers — the table consumer's natural form, and the shape
+    test_binned_breakdowns_match_pandas pins (observed=True +
+    count_out>0 on the pandas side). Chart-side bin completion is a
+    presentation concern: left-join from the label literal list at
+    render time if empty bars are needed."""
     from qcflow.summary import breakdown
 
     flagged = with_speed_bins(flagged)

@@ -136,6 +136,42 @@ def cube_conf_histogram(cube: DataFrame, *extra_dims: str) -> DataFrame:
     )
 
 
+def metrics_partials(cube: DataFrame, ppl_hist: DataFrame) -> DataFrame:
+    """All three metric partial grains — drop-reason counts, langid
+    confidence histogram, perplexity sketch histogram — as ONE long-form
+    frame (kind, bucket, lang, drop_reason, bin, n), so a write attempt
+    lands one parquet append instead of three serial dimension-sized
+    jobs (the r4 resumable-increment fixed-cost fix: each tiny write
+    paid full job+commit overhead). Readers filter on ``kind`` and
+    re-alias (checkpoint.read_metrics)."""
+    nul_s = F.lit(None).cast("string").alias("drop_reason")
+    dr = cube_drop_reasons(cube, "bucket", "lang").select(
+        F.lit("drop_reasons").alias("kind"),
+        "bucket",
+        "lang",
+        "drop_reason",
+        F.lit(None).cast("int").alias("bin"),
+        "n",
+    )
+    cf = cube_conf_histogram(cube, "bucket").select(
+        F.lit("lang_conf").alias("kind"),
+        "bucket",
+        "lang",
+        nul_s,
+        F.col("conf_bin").alias("bin"),
+        "n",
+    )
+    pp = ppl_hist.select(
+        F.lit("ppl_hist").alias("kind"),
+        "bucket",
+        "lang",
+        nul_s,
+        F.col("ppl_bin").alias("bin"),
+        "n",
+    )
+    return dr.unionByName(cf).unionByName(pp)
+
+
 def cube_lineage(cube: DataFrame) -> DataFrame:
     """Per-bucket lineage row (resume manifest) from the cube."""
     return cube.groupBy("bucket").agg(
