@@ -159,7 +159,9 @@ def main() -> int:
     )
     t0 = time.time()
     centroids = kmeans_fit(emb, k=16, id_col="vec_id", n_iter=4)
+    queries["ann_ivf_train_k16"] = round(time.time() - t0, 3)
     qs = emb.filter(F.col("vec_id") < 100)
+    t0 = time.time()
     ivf_topk(emb, qs, centroids, k=10, nprobe=2).write.format("noop").mode(
         "overwrite"
     ).save()
