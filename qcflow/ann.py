@@ -54,14 +54,75 @@ def _sq_dist(emb_col: str, centroid: np.ndarray) -> Column:
 
 
 def assign_clusters(
-    df: DataFrame, centroids: np.ndarray, emb_col: str = "emb", out_col: str = "cluster"
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "emb",
+    out_col: str = "cluster",
+    id_col: str | None = None,
+    max_inline_k: int = 128,
 ) -> DataFrame:
-    """Nearest-centroid (L2) assignment as one column expression;
-    1-based index, first-minimum tie-break."""
-    scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
-    return df.withColumn(
-        out_col, F.array_position(scores, F.array_min(scores)).cast("int")
+    """Nearest-centroid (L2) assignment; 1-based index, first-minimum
+    tie-break.
+
+    Two physical strategies with IDENTICAL float semantics (same
+    sequential-fold dot, same |c|^2 numpy-sum literal, same
+    lexicographic tie-break):
+    - k <= max_inline_k (or no id_col): ONE codegen'd projection with
+      the k*d centroid literals inlined — no shuffle, no join; the
+      right plan for the small-k hot path.
+    - larger k (id_col required): the literal expression tree stops
+      being viable (Catalyst analysis/codegen scale with k*d, and a
+      10^12-vector index wants k ~ 4096 coarse lists), so the codebook
+      ships as a broadcast TABLE instead: expand to (row, centroid)
+      pairs, reduce per row with a map-side-combinable min(struct(d,
+      cluster)) aggregation, join the winner back on id. One broadcast,
+      one n-row shuffle, any k."""
+    if len(centroids) <= max_inline_k or id_col is None:
+        scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
+        return df.withColumn(
+            out_col, F.array_position(scores, F.array_min(scores)).cast("int")
+        )
+    return _assign_clusters_join(df, centroids, emb_col, out_col, id_col)
+
+
+def _centroids_df(ref: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(cluster, c_emb, c_sqn) broadcast table; c_sqn is the SAME
+    numpy-summed |c|^2 double the literal path inlines, so both
+    strategies score bit-identically."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "cluster": list(range(1, len(centroids) + 1)),
+            "c_emb": [[float(x) for x in c] for c in centroids],
+            "c_sqn": [float((c**2).sum()) for c in centroids],
+        }
     )
+    return ref.sparkSession.createDataFrame(
+        pdf, "cluster int, c_emb array<double>, c_sqn double"
+    )
+
+
+def _assign_clusters_join(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str,
+    out_col: str,
+    id_col: str,
+) -> DataFrame:
+    cdf = _centroids_df(df, centroids)
+    d = -2.0 * _dot(F.col(emb_col), F.col("c_emb")) + F.col("c_sqn")
+    best = (
+        df.select(id_col, emb_col)
+        .join(F.broadcast(cdf))
+        .select(
+            id_col, F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("s")
+        )
+        .groupBy(id_col)
+        .agg(F.min("s").alias("s"))  # lexicographic: min d, then min cluster
+        .select(id_col, F.col("s.c").alias(out_col))
+    )
+    return df.join(best, id_col)
 
 
 def farthest_first_init(
@@ -166,7 +227,7 @@ def _lloyd(
 ) -> np.ndarray:
     data = df.select(id_col, emb_col)
     for _ in range(n_iter):
-        assigned = assign_clusters(data, centroids, emb_col=emb_col)
+        assigned = assign_clusters(data, centroids, emb_col=emb_col, id_col=id_col)
         rows = (
             assigned.select("cluster", F.posexplode(emb_col).alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -209,7 +270,9 @@ def ivf_topk(
     cluster column is the partition layout and the probe join shuffles
     (cluster, id) pairs only."""
     nrm = F.sqrt(_sq_norm(F.col(emb_col)))
-    lists = assign_clusters(corpus, centroids, emb_col=emb_col).withColumn("nrm", nrm)
+    lists = assign_clusters(
+        corpus, centroids, emb_col=emb_col, id_col=id_col
+    ).withColumn("nrm", nrm)
     scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
     probes = (
         queries.withColumn("_s", scores)
@@ -533,7 +596,7 @@ def ivfpq_topk(
         raise ValueError("ivfpq_topk: queries must be non-empty")
     M = codebooks.shape[0]
     coded = pq_assign(
-        assign_clusters(corpus, centroids, emb_col=emb_col),
+        assign_clusters(corpus, centroids, emb_col=emb_col, id_col=id_col),
         codebooks,
         emb_col=emb_col,
         id_col=id_col,
@@ -643,7 +706,7 @@ def ivfpq_residual_topk(
     centers_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
-    assigned = assign_clusters(corpus, centroids, emb_col=emb_col)
+    assigned = assign_clusters(corpus, centroids, emb_col=emb_col, id_col=id_col)
     res = assigned.withColumn(
         "_res",
         F.zip_with(

@@ -66,3 +66,75 @@ def test_trained_ivf_full_recall_on_blobs(spark, blobs):
         want = [int(pdf.vec_id.iloc[i]) for i in top]
         have = got[got.query_id == qid].sort_values("rank").neighbor_id.tolist()
         assert have == want, f"query {qid}: {have} != {want}"
+
+
+def test_join_assignment_equals_inline(spark):
+    """The large-k broadcast-table assignment strategy must produce
+    EXACTLY the inline-literal projection's clusters (same fold dot,
+    same numpy |c|^2, same lexicographic tie-break) — including on
+    planted exact-tie vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from qcflow.ann import _assign_clusters_join, assign_clusters
+
+    rng = np.random.default_rng(123)
+    k, d, n = 32, 8, 500
+    cents = np.round(rng.normal(0.0, 1.0, (k, d)), 6)
+    emb = np.round(rng.normal(0.0, 1.0, (n, d)), 6)
+    emb[7] = cents[3]  # exact centroid hit
+    emb[11] = (cents[5] + cents[5]) / 2.0  # still exact centroid hit
+    vec = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "emb": [r.tolist() for r in emb]}),
+        "vec_id long, emb array<double>",
+    )
+    a = (
+        assign_clusters(vec, cents)  # k=32 <= max_inline_k -> literal path
+        .select("vec_id", "cluster")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _assign_clusters_join(vec, cents, "emb", "cluster", "vec_id")
+        .select("vec_id", "cluster")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_large_k_dispatch_recovers_planted_clusters(spark):
+    """k above max_inline_k dispatches to the broadcast-table strategy
+    (plan has a join, no k-literal array) and still recovers a planted
+    160-cluster mixture exactly — the coarse-list scale a 10^12-vector
+    index needs, where the literal expression tree stops being viable."""
+    import contextlib
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from qcflow.ann import assign_clusters
+
+    rng = np.random.default_rng(321)
+    k, d, per = 160, 6, 6  # k=160 > max_inline_k=128
+    cents = rng.normal(0.0, 1.0, (k, d)) * 30.0
+    emb = np.round(
+        cents[np.repeat(np.arange(k), per)] + rng.normal(0.0, 0.05, (k * per, d)), 6
+    )
+    vec = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(k * per), "emb": [r.tolist() for r in emb]}
+        ),
+        "vec_id long, emb array<double>",
+    )
+    out = assign_clusters(vec, cents, id_col="vec_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "Join" in buf.getvalue()
+    got = out.select("vec_id", "cluster").toPandas().sort_values("vec_id")
+    want = (got.vec_id // per + 1).to_numpy()
+    assert (got.cluster.to_numpy() == want).all()
