@@ -337,31 +337,111 @@ def pq_assign(
     codebooks: np.ndarray,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    max_inline_codes: int = 512,
 ) -> DataFrame:
     """Encode each vector as its nearest sub-centroid per subspace.
 
     ``codebooks``: (M, ks, dsub) — subspace m quantizes dims
-    [m*dsub, (m+1)*dsub). Like ``assign_clusters``, the M * ks
-    squared-distance terms are inlined literals evaluated in ONE
-    codegen'd projection: no shuffle, no Python, no UDF. Output adds
-    ``code_0 .. code_{M-1}`` (0-based int codes)."""
+    [m*dsub, (m+1)*dsub). Output adds ``code_0 .. code_{M-1}`` (0-based
+    int codes). Two physical strategies, bit-identical float semantics:
+    - M * ks <= max_inline_codes: the squared-distance terms are inlined
+      literals evaluated in ONE codegen'd projection — no shuffle, no
+      Python, no UDF (the small-codebook hot path, and the shape every
+      oracle fixture exercises).
+    - larger codebooks (production PQ is M=16 x ks=256 = 4096 terms —
+      far past what Catalyst analysis/codegen handle gracefully): the
+      codebook ships as a broadcast TABLE of (m, code, sub-centroid)
+      rows; vectors explode to (id, m, subvector), the broadcast join +
+      a map-side-combinable min(struct(d, code)) pick each subspace's
+      winner, and one collect_list pivot re-assembles the code columns.
+      Two n*M-row aggregations, any codebook size."""
     M, ks, dsub = codebooks.shape
-    cols = [df[c] for c in df.columns]
+    if M * ks <= max_inline_codes:
+        cols = [df[c] for c in df.columns]
+        for m in range(M):
+            sub = F.slice(F.col(emb_col), m * dsub + 1, dsub)
+            scores = F.array(
+                *[
+                    -2.0 * _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                    + float((c**2).sum())
+                    for c in codebooks[m]
+                ]
+            )
+            cols.append(
+                (F.array_position(scores, F.array_min(scores)) - 1)
+                .cast("int")
+                .alias(f"code_{m}")
+            )
+        return df.select(*cols)
+    return _pq_assign_join(df, codebooks, emb_col, id_col)
+
+
+def _pq_assign_join(
+    df: DataFrame, codebooks: np.ndarray, emb_col: str, id_col: str
+) -> DataFrame:
+    import pandas as pd
+
+    M, ks, dsub = codebooks.shape
+    cb_pdf = pd.DataFrame(
+        {
+            "m": [m for m in range(M) for _ in range(ks)],
+            "code": [j for _ in range(M) for j in range(ks)],
+            "c_sub": [
+                [float(x) for x in codebooks[m][j]]
+                for m in range(M)
+                for j in range(ks)
+            ],
+            # the SAME numpy-summed |c|^2 double the literal path inlines
+            "c_sqn": [
+                float((codebooks[m][j] ** 2).sum())
+                for m in range(M)
+                for j in range(ks)
+            ],
+        }
+    )
+    cdf = df.sparkSession.createDataFrame(
+        cb_pdf, "m int, code int, c_sub array<double>, c_sqn double"
+    )
+    subs = df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(emb_col), m * dsub + 1, dsub).alias("sub"),
+                    )
+                    for m in range(M)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "s.m", "s.sub")
+    d = -2.0 * _dot(F.col("sub"), F.col("c_sub")) + F.col("c_sqn")
+    best = (
+        subs.join(F.broadcast(cdf), "m")
+        .select(
+            id_col,
+            "m",
+            F.struct(d.alias("d"), F.col("code").alias("c")).alias("s"),
+        )
+        .groupBy(id_col, "m")
+        .agg(F.min("s").alias("s"))  # lexicographic: min d, then min code
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("s.c").alias("c")))
+                ),
+                lambda e: e["c"],
+            ).alias("_codes")
+        )
+    )
+    out = df.join(best, id_col)
     for m in range(M):
-        sub = F.slice(F.col(emb_col), m * dsub + 1, dsub)
-        scores = F.array(
-            *[
-                -2.0 * _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
-                + float((c**2).sum())
-                for c in codebooks[m]
-            ]
+        out = out.withColumn(
+            f"code_{m}", F.element_at("_codes", m + 1).cast("int")
         )
-        cols.append(
-            (F.array_position(scores, F.array_min(scores)) - 1)
-            .cast("int")
-            .alias(f"code_{m}")
-        )
-    return df.select(*cols)
+    return out.drop("_codes")
 
 
 def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:

@@ -207,3 +207,55 @@ def test_ivfpq_train_end_to_end_recall(spark):
         have = set(got[got.query_id == qid].neighbor_id.tolist())
         recalls.append(len(exact & have) / 10.0)
     assert float(np.mean(recalls)) >= 0.85, recalls
+
+
+def test_pq_assign_join_equals_inline(spark):
+    """The large-codebook broadcast-table PQ encode must produce EXACTLY
+    the inline-literal projection's codes (same fold arithmetic, same
+    tie-break), and a production-sized M=16 x ks=256 codebook must
+    dispatch to it and recover planted codes."""
+    from qcflow.ann import _pq_assign_join
+
+    rng = np.random.default_rng(555)
+    M, ks, dsub, n = 4, 8, 4, 300
+    cb = np.round(rng.normal(0.0, 1.0, (M, ks, dsub)), 6)
+    emb = np.round(rng.normal(0.0, 1.0, (n, M * dsub)), 6)
+    vec = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "emb": [r.tolist() for r in emb]}),
+        "vec_id long, emb array<double>",
+    )
+    cols = ["vec_id"] + [f"code_{m}" for m in range(M)]
+    a = (
+        pq_assign(vec, cb)  # 32 terms -> inline path
+        .select(*cols).toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        _pq_assign_join(vec, cb, "emb", "vec_id")
+        .select(*cols).toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # production-sized codebook: M=16 x ks=256 = 4096 terms dispatches to
+    # the join path; planted codes (vector = chosen sub-centroids, no
+    # noise) must be recovered exactly
+    M2, ks2, dsub2 = 16, 256, 2
+    cb2 = np.round(rng.normal(0.0, 1.0, (M2, ks2, dsub2)), 6)
+    codes_true = rng.integers(0, ks2, (200, M2))
+    emb2 = np.concatenate(
+        [cb2[m][codes_true[:, m]] for m in range(M2)], axis=1
+    )
+    vec2 = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(200), "emb": [r.tolist() for r in emb2]}
+        ),
+        "vec_id long, emb array<double>",
+    )
+    got = (
+        pq_assign(vec2, cb2)
+        .select("vec_id", *[f"code_{m}" for m in range(M2)])
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got_np = got[[f"code_{m}" for m in range(M2)]].to_numpy()
+    assert (got_np == codes_true).all()
