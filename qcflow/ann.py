@@ -545,6 +545,47 @@ def _adc_from_lut(M: int, lut_col: str = "_lut") -> Column:
     return score
 
 
+def pq_adc_topk_df(
+    codes: DataFrame,
+    queries_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """DataFrame-native batch ADC top-k: the queries are ANY DataFrame
+    with (query_id, q_emb) — they never need to be driver-resident. The
+    per-query inner-product LUT is computed in-frame (``_lut_ip_col``,
+    same fold arithmetic as the driver-side pq_lut), the query side is
+    broadcast against ONE scan of the codes table, and scoring is M
+    element_at lookups per pair — one plan for any Q. For query sets too
+    large to broadcast, swap F.broadcast for a shuffle join on a
+    replicated key; the scoring expression is unchanged."""
+    M = codebooks.shape[0]
+    # normalize names FIRST, compute in a second select: referencing a
+    # same-name alias from a sibling expression trips Spark 4's lateral
+    # alias resolution (internal analyzer error)
+    q0 = queries_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_emb_col).alias("q_emb"),
+    )
+    q = q0.select(
+        "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
+    )
+    out = codes.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_from_lut(M).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: list[tuple[int, np.ndarray]],
@@ -573,21 +614,8 @@ def pq_adc_topk(
         raise ValueError("pq_adc_topk: queries must be non-empty")
     M = codebooks.shape[0]
     if not inline:
-        q = _queries_df(codes, queries).select(
-            "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
-        )
-        out = codes.join(
-            F.broadcast(q), F.col(id_col) != F.col("query_id")
-        ).select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _adc_from_lut(M).alias("adc_score"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("adc_score"), "neighbor_id"
-        )
-        return out.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        return pq_adc_topk_df(
+            codes, _queries_df(codes, queries), codebooks, k=k, id_col=id_col
         )
     per_q = []
     for qid, qvec in queries:
@@ -637,6 +665,50 @@ def _probe_col(emb: Column, centroids: np.ndarray, nprobe: int) -> Column:
     )
 
 
+def ivfpq_topk_df(
+    coded: DataFrame,
+    queries_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """DataFrame-native batch IVF+PQ search over an ALREADY-ENCODED
+    corpus table (id, cluster, code_0..code_{M-1}) — the stored index
+    layout, so repeated query batches never re-encode. Probes resolve
+    in-frame, the inner-product LUT is shared across a query's probes,
+    and the probe frame broadcast-hash-joins the codes on cluster ==
+    probe (the join key IS the inverted-list pruning)."""
+    M = codebooks.shape[0]
+    q0 = queries_df.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_emb_col).alias("q_emb"),
+    )
+    q = q0.select(
+        "query_id",
+        _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut"),
+        F.explode(
+            _probe_col(F.col("q_emb"), centroids, nprobe)
+        ).alias("probe"),
+    )
+    out = coded.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("probe"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_from_lut(M).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: list[tuple[int, np.ndarray]],
@@ -682,27 +754,14 @@ def ivfpq_topk(
         id_col=id_col,
     ).select(id_col, "cluster", *[f"code_{m}" for m in range(M)])
     if not inline:
-        q = _queries_df(corpus, queries).select(
-            "query_id",
-            _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut"),
-            F.explode(
-                _probe_col(F.col("q_emb"), centroids, nprobe)
-            ).alias("probe"),
-        )
-        out = coded.join(
-            F.broadcast(q),
-            (F.col("cluster") == F.col("probe"))
-            & (F.col(id_col) != F.col("query_id")),
-        ).select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _adc_from_lut(M).alias("adc_score"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("adc_score"), "neighbor_id"
-        )
-        return out.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        return ivfpq_topk_df(
+            coded,
+            _queries_df(corpus, queries),
+            centroids,
+            codebooks,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
         )
     per_q = []
     for qid, qvec in queries:
@@ -752,6 +811,67 @@ def pq_lut_l2(query_res: np.ndarray, codebooks: np.ndarray) -> list[list[float]]
     return lut
 
 
+def ivfpq_residual_topk_df(
+    coded: DataFrame,
+    queries_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_emb_col: str = "q_emb",
+) -> DataFrame:
+    """DataFrame-native batch residual-IVFPQ search over an
+    ALREADY-ENCODED corpus (id, cluster, residual code_0..code_{M-1}).
+    Each (query, probe) row computes its residual against that probe's
+    centroid and its L2 ADC LUT in one projection; the probe frame
+    broadcast-hash-joins the codes on cluster == probe. Ranks ascend by
+    distance."""
+    M = codebooks.shape[0]
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    q = (
+        queries_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_emb_col).alias("q_emb"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(
+                _probe_col(F.col("q_emb"), centroids, nprobe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "probe",
+            _lut_l2_col(
+                F.zip_with(
+                    F.col("q_emb"),
+                    F.element_at(centers_lit, F.col("probe")),
+                    lambda x, c: x - c,
+                ),
+                codebooks,
+            ).alias("_lut"),
+        )
+    )
+    out = coded.join(
+        F.broadcast(q),
+        (F.col("cluster") == F.col("probe"))
+        & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_from_lut(M).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_residual_topk(
     corpus: DataFrame,
     queries: list[tuple[int, np.ndarray]],
@@ -799,42 +919,14 @@ def ivfpq_residual_topk(
         id_col, "cluster", *[f"code_{m}" for m in range(M)]
     )
     if not inline:
-        q = (
-            _queries_df(corpus, queries)
-            .select(
-                "query_id",
-                "q_emb",
-                F.explode(
-                    _probe_col(F.col("q_emb"), centroids, nprobe)
-                ).alias("probe"),
-            )
-            .select(
-                "query_id",
-                "probe",
-                _lut_l2_col(
-                    F.zip_with(
-                        F.col("q_emb"),
-                        F.element_at(centers_lit, F.col("probe")),
-                        lambda x, c: x - c,
-                    ),
-                    codebooks,
-                ).alias("_lut"),
-            )
-        )
-        out = coded.join(
-            F.broadcast(q),
-            (F.col("cluster") == F.col("probe"))
-            & (F.col(id_col) != F.col("query_id")),
-        ).select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _adc_from_lut(M).alias("adc_dist"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.asc("adc_dist"), "neighbor_id"
-        )
-        return out.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        return ivfpq_residual_topk_df(
+            coded,
+            _queries_df(corpus, queries),
+            centroids,
+            codebooks,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
         )
     per_probe = []
     for qid, qvec in queries:

@@ -259,3 +259,73 @@ def test_pq_assign_join_equals_inline(spark):
     )
     got_np = got[[f"code_{m}" for m in range(M2)]].to_numpy()
     assert (got_np == codes_true).all()
+
+
+def test_df_native_query_apis_match_list_apis(spark):
+    """The DataFrame-native search APIs (queries as a (query_id, q_emb)
+    frame over an already-encoded index — no driver-resident query list
+    at all) must equal the list APIs row-for-row."""
+    from qcflow.ann import (
+        assign_clusters,
+        ivfpq_residual_topk,
+        ivfpq_residual_topk_df,
+        ivfpq_topk,
+        ivfpq_topk_df,
+        pq_adc_topk_df,
+    )
+
+    rng = np.random.default_rng(4242)
+    M, ks, dsub, n, ncl = 4, 8, 4, 240, 4
+    cb = np.round(rng.normal(0.0, 1.0, (M, ks, dsub)), 6)
+    centers = np.round(rng.normal(0.0, 1.0, (ncl, M * dsub)) * 20.0, 6)
+    emb = np.round(
+        centers[np.arange(n) % ncl] + rng.normal(0.0, 1.0, (n, M * dsub)), 6
+    )
+    vec = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "emb": [r.tolist() for r in emb]}),
+        "vec_id long, emb array<double>",
+    )
+    q_list = [(int(i), emb[i]) for i in range(12)]
+    q_df = vec.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+    def cmp(a, b, cols):
+        pa = a.select(*cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+        pb = b.select(*cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa, pb)
+
+    codes = pq_assign(vec, cb)
+    cmp(
+        pq_adc_topk(codes, q_list, cb, k=5),
+        pq_adc_topk_df(codes, q_df, cb, k=5),
+        ["query_id", "neighbor_id", "adc_score", "rank"],
+    )
+    coded_abs = pq_assign(
+        assign_clusters(vec, centers, id_col="vec_id"), cb
+    ).select("vec_id", "cluster", *[f"code_{m}" for m in range(M)])
+    cmp(
+        ivfpq_topk(vec, q_list, centers, cb, k=5, nprobe=2),
+        ivfpq_topk_df(coded_abs, q_df, centers, cb, k=5, nprobe=2),
+        ["query_id", "neighbor_id", "adc_score", "rank"],
+    )
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    coded_res = pq_assign(
+        assign_clusters(vec, centers, id_col="vec_id").withColumn(
+            "_res",
+            F.zip_with(
+                F.col("emb"),
+                F.element_at(centers_lit, F.col("cluster")),
+                lambda x, c: x - c,
+            ),
+        ),
+        cb,
+        emb_col="_res",
+    ).select("vec_id", "cluster", *[f"code_{m}" for m in range(M)])
+    cmp(
+        ivfpq_residual_topk(vec, q_list, centers, cb, k=5, nprobe=2),
+        ivfpq_residual_topk_df(coded_res, q_df, centers, cb, k=5, nprobe=2),
+        ["query_id", "neighbor_id", "adc_dist", "rank"],
+    )
