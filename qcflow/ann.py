@@ -18,6 +18,18 @@ d dims):
 
 Initialization is a deterministic hash-sample (smallest xxhash64 of the
 id column), so runs are reproducible across partitionings.
+
+Where inlined-literal expressions scale and where they don't (the r4
+dual-strategy rule): codebook-literal expressions carry a one-time
+Catalyst analysis + codegen cost AND, past the JVM's 64 KB codegen
+method ceiling, fall back to interpreted evaluation. On the CORPUS side
+(n huge — assign_clusters, pq_assign) interpreted per-row evaluation is
+fatal, so both dispatch to broadcast-TABLE join strategies above a size
+threshold (k > 128 / M*ks > 512), with bit-identical float semantics.
+On the QUERY side (Q small, broadcast — ADC LUTs, probe selection) the
+compile cost is per-plan, not per-row, and interpreted evaluation of a
+few thousand query rows is immaterial — so those stay expressions at
+any codebook size.
 """
 
 from __future__ import annotations

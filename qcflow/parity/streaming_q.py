@@ -197,6 +197,12 @@ def stream_exactly_once_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(120)
     except Exception:
         pass  # the injected crash — the restart below must recover it
+    finally:
+        try:
+            if q.isActive:  # timeout without the crash landing: never
+                q.stop()  # leave two streams sharing one checkpoint
+        except Exception:
+            pass  # racing the injected crash is fine — the query is dead
     q2 = stream_score(
         spark, in_dir, out_dir, wide,
         max_files_per_trigger=1, dedup_within="10 minutes",
