@@ -57,3 +57,35 @@ def test_hll_sketch_tracks_exact_distinct(spark, sf_dir):
     assert set(exact) == set(approx) and exact
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.02 * n), (k, approx[k], n)
+
+
+def test_ks_sketch_grid_tracks_exact(spark, sf_dir):
+    """The KS drift sketch branch (quantile grid above _KS_GRID_MAX) must
+    track the exact distinct-grid statistic within the grid's resolution
+    — the quantitative guarantee behind the 10^12-row mode, not just a
+    smoke test."""
+    import qcflow.parity.advanced_ops as ao
+
+    exact = (
+        ao.x_ks_drift_per_group(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")["ks"]
+    )
+    saved = ao._KS_GRID_MAX
+    try:
+        ao._KS_GRID_MAX = 1024  # force the sketch branch at test scale
+        approx = (
+            ao.x_ks_drift_per_group(spark, sf_dir)
+            .toPandas()
+            .set_index("event_type")["ks"]
+        )
+    finally:
+        ao._KS_GRID_MAX = saved
+    assert set(approx.index) == set(exact.index)
+    # grid resolution 1/1024 + sketch rank error; KS values at this SF
+    # are ~0.01-0.03, so a loose absolute band still catches a broken
+    # branch while tolerating quantile-grid discretization
+    for g in exact.index:
+        assert abs(float(approx[g]) - float(exact[g])) < 0.02, (
+            g, float(approx[g]), float(exact[g]),
+        )

@@ -397,3 +397,23 @@ def test_read_committed_missing_table_is_empty(spark, tmp_path, clips_ready):
     assert read_as_of(spark, out, "dropped", 0).count() == 0
     # kept view unaffected
     assert read_committed(spark, out, "kept").count() > 0
+
+
+def test_driver_side_manifest_equals_spark_view(spark, tmp_path, clips_ready):
+    """completed_buckets/next_snapshot_id read the manifest via pyarrow
+    on the driver (r4 fixed-cost fix); their cutoff semantics must equal
+    the Spark valid_pairs view through an append + replace history."""
+    from qcflow.checkpoint import next_snapshot_id, valid_pairs
+
+    out = str(tmp_path / "pdman")
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    merge_replace_buckets(spark, CLIPS, out, [2, 5], n_buckets=N_BUCKETS)
+
+    vp = valid_pairs(spark, out)
+    spark_buckets = sorted(
+        r["bucket"] for r in vp.select("bucket").distinct().collect()
+    )
+    assert completed_buckets(spark, out) == spark_buckets
+    max_snap = int(vp.agg(F.max("snapshot_id")).collect()[0][0])
+    # the counter allocates strictly past everything ever written
+    assert next_snapshot_id(spark, out) > max_snap
