@@ -87,8 +87,9 @@ def assign_clusters(
       10^12-vector index wants k ~ 4096 coarse lists), so the codebook
       ships as a broadcast TABLE instead: expand to (row, centroid)
       pairs, reduce per row with a map-side-combinable min(struct(d,
-      cluster)) aggregation, join the winner back on id. One broadcast,
-      one n-row shuffle, any k."""
+      cluster, row-payload)) aggregation — the payload rides the min, so
+      ONE scan, one broadcast, one n-row shuffle, any k
+      (_assign_clusters_join for the row-level contract)."""
     if len(centroids) <= max_inline_k or id_col is None:
         scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
         return df.withColumn(
@@ -122,19 +123,38 @@ def _assign_clusters_join(
     out_col: str,
     id_col: str,
 ) -> DataFrame:
+    """ONE scan of the input, one broadcast, one n-row shuffle (r4
+    review: the first cut re-scanned the input for a winner join-back,
+    doubling per-call scan cost — fatal at the corpus sizes this path
+    exists for). The full row payload rides the min-struct aggregation
+    as a trailing field: (d, cluster) is unique per (row, centroid)
+    pair, so the payload never participates in the comparison.
+
+    Row-level contract matching the inline path: ``id_col`` must be
+    unique (it keys the reduction — a duplicated id would collapse to
+    one winner row); NULL embeddings get a NULL cluster; output
+    preserves the input column order with ``out_col`` appended."""
     cdf = _centroids_df(df, centroids)
-    d = -2.0 * _dot(F.col(emb_col), F.col("c_emb")) + F.col("c_sqn")
-    best = (
-        df.select(id_col, emb_col)
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    d = -2.0 * _dot(F.col(f"_p.{emb_col}"), F.col("c_emb")) + F.col("c_sqn")
+    assigned = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), payload.alias("_p"))
         .join(F.broadcast(cdf))
         .select(
-            id_col, F.struct(d.alias("d"), F.col("cluster").alias("c")).alias("s")
+            "_id",
+            F.struct(
+                d.alias("d"), F.col("cluster").alias("c"), F.col("_p").alias("p")
+            ).alias("s"),
         )
-        .groupBy(id_col)
+        .groupBy("_id")
         .agg(F.min("s").alias("s"))  # lexicographic: min d, then min cluster
-        .select(id_col, F.col("s.c").alias(out_col))
+        .select("s.p.*", F.col("s.c").alias(out_col))
     )
-    return df.join(best, id_col)
+    nulls = df.filter(F.col(emb_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("int")
+    )
+    return assigned.unionByName(nulls)
 
 
 def farthest_first_init(
@@ -175,7 +195,11 @@ def farthest_first_init(
         # so an exact duplicate can land a few ulps either side of zero:
         # compare against an epsilon scaled to the vector magnitudes, not
         # raw <= 0 (advisor r3 finding)
-        eps = 1e-9 * (1.0 + max(float((c**2).sum()) for c in cents))
+        # ~4 orders above the worst-case rounding (ulp ~2.2e-16 * scale)
+        # yet far below any real squared distance; a larger factor would
+        # falsely reject legitimately-close distinct points at large
+        # vector magnitudes (r4 review finding)
+        eps = 1e-12 * (1.0 + max(float((c**2).sum()) for c in cents))
         if r["_d"] <= eps:
             raise ValueError(
                 f"farthest_first_init: fewer than k={k} distinct vectors"
@@ -391,6 +415,12 @@ def pq_assign(
 def _pq_assign_join(
     df: DataFrame, codebooks: np.ndarray, emb_col: str, id_col: str
 ) -> DataFrame:
+    """ONE scan of the input (r4 review: no winner join-back — the full
+    row payload rides subspace 0's exploded row and is re-attached by a
+    null-skipping max in the per-id reduction, so it shuffles once per
+    row, never once per subspace). Contract as in _assign_clusters_join:
+    unique ids, NULL embeddings get NULL codes, input column order is
+    preserved with code_0..code_{M-1} appended."""
     import pandas as pd
 
     M, ks, dsub = codebooks.shape
@@ -414,46 +444,65 @@ def _pq_assign_join(
     cdf = df.sparkSession.createDataFrame(
         cb_pdf, "m int, code int, c_sub array<double>, c_sqn double"
     )
-    subs = df.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(F.col(emb_col), m * dsub + 1, dsub).alias("sub"),
-                    )
-                    for m in range(M)
-                ]
-            )
-        ).alias("s"),
-    ).select(id_col, "s.m", "s.sub")
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    subs = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(
+                                F.col(emb_col), m * dsub + 1, dsub
+                            ).alias("sub"),
+                            # payload rides ONLY subspace 0 (typed NULL
+                            # elsewhere) so it shuffles once per row
+                            F.when(F.lit(m == 0), payload).alias("p"),
+                        )
+                        for m in range(M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("_id", "s.m", "s.sub", "s.p")
+    )
     d = -2.0 * _dot(F.col("sub"), F.col("c_sub")) + F.col("c_sqn")
     best = (
         subs.join(F.broadcast(cdf), "m")
         .select(
-            id_col,
+            "_id",
             "m",
             F.struct(d.alias("d"), F.col("code").alias("c")).alias("s"),
+            "p",
         )
-        .groupBy(id_col, "m")
-        .agg(F.min("s").alias("s"))  # lexicographic: min d, then min code
-        .groupBy(id_col)
+        .groupBy("_id", "m")
+        # lexicographic min: min d, then min code; max(p) keeps the one
+        # non-null payload (nulls are skipped)
+        .agg(F.min("s").alias("s"), F.max("p").alias("p"))
+        .groupBy("_id")
         .agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("m"), F.col("s.c").alias("c")))
                 ),
                 lambda e: e["c"],
-            ).alias("_codes")
+            ).alias("_codes"),
+            F.max("p").alias("p"),
         )
     )
-    out = df.join(best, id_col)
+    assigned = best.select(
+        "p.*",
+        *[
+            F.element_at("_codes", m + 1).cast("int").alias(f"code_{m}")
+            for m in range(M)
+        ],
+    )
+    nulls = df.filter(F.col(emb_col).isNull())
     for m in range(M):
-        out = out.withColumn(
-            f"code_{m}", F.element_at("_codes", m + 1).cast("int")
-        )
-    return out.drop("_codes")
+        nulls = nulls.withColumn(f"code_{m}", F.lit(None).cast("int"))
+    return assigned.unionByName(nulls)
 
 
 def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:
@@ -1099,7 +1148,9 @@ def ivfpq_train(
     centers_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
     )
-    res = assign_clusters(df, centers, emb_col=emb_col).withColumn(
+    res = assign_clusters(
+        df, centers, emb_col=emb_col, id_col=id_col
+    ).withColumn(
         "_res",
         F.zip_with(
             F.col(emb_col),

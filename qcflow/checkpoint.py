@@ -393,13 +393,55 @@ def run_resumable(
 # ----------------------------------------------------------------- metrics
 
 # reader-side view of the long-form unified partials table: kind filter
-# plus (output key name, stored key column) — names only, no Column
-# expressions at module level (PySpark 4 needs an active session)
+# plus (output key name, stored key column, output key type) — names
+# only, no Column expressions at module level (PySpark 4 needs an
+# active session)
 _PARTIAL_VIEWS = {
-    "drop_reasons": ("drop_reason", "drop_reason"),
-    "lang_conf": ("conf_bin", "bin"),
-    "ppl_hist": ("ppl_bin", "bin"),
+    "drop_reasons": ("drop_reason", "drop_reason", "string"),
+    "lang_conf": ("conf_bin", "bin", "int"),
+    "ppl_hist": ("ppl_bin", "bin", "int"),
 }
+
+# pre-r4 layout: one table per grain, keyed by its natural column. An
+# upgraded out_dir can hold BOTH (legacy history + unified increments);
+# readers union them and vacuum migrates everything into the unified
+# table (r4 review finding: dropping the legacy guard silently orphaned
+# committed metrics history).
+_LEGACY_PARTIALS = {
+    "drop_reasons": "metrics_drop_reasons_partials",
+    "lang_conf": "metrics_lang_conf_partials",
+    "ppl_hist": "metrics_ppl_hist_partials",
+}
+
+
+def _has_parquet(path: str) -> bool:
+    import glob
+
+    return bool(glob.glob(f"{path}/**/*.parquet", recursive=True))
+
+
+def _partials_frames(
+    spark: SparkSession, out_dir: str, which: str
+) -> list[DataFrame]:
+    """(snapshot_id, bucket, lang, <dim>, n) frames for one grain, from
+    the unified table and/or the legacy per-grain table."""
+    dim, key, _ = _PARTIAL_VIEWS[which]
+    frames = []
+    uni = f"{out_dir}/metrics_partials.parquet"
+    if _has_parquet(uni):
+        frames.append(
+            spark.read.parquet(uni)
+            .filter(F.col("kind") == which)
+            .select("snapshot_id", "bucket", "lang", F.col(key).alias(dim), "n")
+        )
+    legacy = f"{out_dir}/{_LEGACY_PARTIALS[which]}.parquet"
+    if _has_parquet(legacy):
+        frames.append(
+            spark.read.parquet(legacy).select(
+                "snapshot_id", "bucket", "lang", dim, "n"
+            )
+        )
+    return frames
 
 
 def read_metrics(
@@ -409,23 +451,24 @@ def read_metrics(
     vp: DataFrame | None = None,
 ) -> DataFrame:
     """Merged metrics view from committed partials ONLY — the plan reads
-    the (dimension x attempts)-sized unified partials table and the
-    manifest, never the kept/dropped history. ``which`` is
-    'drop_reasons', 'lang_conf' or 'ppl_hist'; ``vp`` as in
-    read_committed."""
+    the (dimension x attempts)-sized partials tables (unified + any
+    pre-r4 legacy table) and the manifest, never the kept/dropped
+    history. ``which`` is 'drop_reasons', 'lang_conf' or 'ppl_hist';
+    ``vp`` as in read_committed."""
     if vp is None:
         vp = valid_pairs(spark, out_dir)
-    dim, key = _PARTIAL_VIEWS[which]
-    partials = spark.read.parquet(f"{out_dir}/metrics_partials.parquet").filter(
-        F.col("kind") == which
-    )
+    dim, _, dim_type = _PARTIAL_VIEWS[which]
+    frames = _partials_frames(spark, out_dir, which)
+    if not frames:
+        return spark.createDataFrame(
+            [], f"lang string, {dim} {dim_type}, n long"
+        )
+    partials = frames[0]
+    for fdf in frames[1:]:
+        partials = partials.unionByName(fdf)
     if vp is not None:
         partials = partials.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
-    return (
-        partials.select("lang", F.col(key).alias(dim), "n")
-        .groupBy("lang", dim)
-        .agg(F.sum("n").alias("n"))
-    )
+    return partials.groupBy("lang", dim).agg(F.sum("n").alias("n"))
 
 
 def read_quantile_metrics(
@@ -461,7 +504,7 @@ def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
     ]
-    if os.path.exists(f"{out_dir}/metrics_partials.parquet"):
+    if _partials_frames(spark, out_dir, "ppl_hist"):
         writes.append(
             lambda: read_quantile_metrics(spark, out_dir, vp=vp)
             .write.mode("overwrite")
@@ -627,18 +670,57 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         _swap_in(tmp, f"{out_dir}/{table}.parquet")
     if vp is None:
         return stats
-    path = f"{out_dir}/metrics_partials.parquet"
-    if os.path.exists(path):
+    # metric partials: every grain (unified + any pre-r4 legacy tables)
+    # is folded into ONE compacted unified table, pruned to committed
+    # slices; legacy directories are removed afterwards — vacuum doubles
+    # as the layout migration
+    parts = []
+    for which in _PARTIAL_VIEWS:
+        dim, _, _ = _PARTIAL_VIEWS[which]
+        for fdf in _partials_frames(spark, out_dir, which):
+            if which == "drop_reasons":
+                parts.append(
+                    fdf.select(
+                        "snapshot_id",
+                        F.lit(which).alias("kind"),
+                        "bucket",
+                        "lang",
+                        F.col(dim).alias("drop_reason"),
+                        F.lit(None).cast("int").alias("bin"),
+                        "n",
+                    )
+                )
+            else:
+                parts.append(
+                    fdf.select(
+                        "snapshot_id",
+                        F.lit(which).alias("kind"),
+                        "bucket",
+                        "lang",
+                        F.lit(None).cast("string").alias("drop_reason"),
+                        F.col(dim).alias("bin"),
+                        "n",
+                    )
+                )
+    if parts:
+        uni = parts[0]
+        for fdf in parts[1:]:
+            uni = uni.unionByName(fdf)
         live = (
-            spark.read.parquet(path)
-            .join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
+            uni.join(F.broadcast(vp), ["snapshot_id", "bucket"], "left_semi")
             .localCheckpoint(eager=True)
         )
         stats["metrics_partials"] = live.count()
+        path = f"{out_dir}/metrics_partials.parquet"
         tmp = path + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         live.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _swap_in(tmp, path)
+        if os.path.exists(path):
+            _swap_in(tmp, path)
+        else:
+            os.rename(tmp, path)
+        for name in _LEGACY_PARTIALS.values():
+            shutil.rmtree(f"{out_dir}/{name}.parquet", ignore_errors=True)
     lin_path = f"{out_dir}/lineage.parquet"
     lin = (
         spark.read.parquet(lin_path)

@@ -207,7 +207,10 @@ def stream_exactly_once_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, in_dir, out_dir, wide,
         max_files_per_trigger=1, dedup_within="10 minutes",
     )
-    q2.awaitTermination(120)
+    drained = q2.awaitTermination(240)
+    if not drained:  # never read partial output or rmtree under a live
+        q2.stop()  # query (r4 review) — fail the gate loudly instead
+        raise RuntimeError("stream_exactly_once_qc: restart did not drain")
 
     kept = spark.read.parquet(f"{out_dir}/kept.parquet").select(
         "clip_id",

@@ -138,3 +138,40 @@ def test_large_k_dispatch_recovers_planted_clusters(spark):
     got = out.select("vec_id", "cluster").toPandas().sort_values("vec_id")
     want = (got.vec_id // per + 1).to_numpy()
     assert (got.cluster.to_numpy() == want).all()
+
+
+def test_join_assignment_row_semantics(spark):
+    """Row-level contract of the broadcast-table strategy (r4 review):
+    NULL embeddings get a NULL cluster (the inline path's semantics),
+    every input row appears exactly once, and the input column order is
+    preserved with the cluster column appended."""
+    import numpy as np
+    import pandas as pd
+
+    from qcflow.ann import _assign_clusters_join
+
+    rng = np.random.default_rng(9)
+    cents = np.round(rng.normal(0.0, 1.0, (3, 4)), 6)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "tag": ["a", "b", "c", "d"],
+            "emb": [
+                cents[1].tolist(),
+                None,
+                cents[2].tolist(),
+                cents[0].tolist(),
+            ],
+        }
+    )
+    vec = spark.createDataFrame(
+        pdf, "vec_id long, tag string, emb array<double>"
+    )
+    out = _assign_clusters_join(vec, cents, "emb", "cluster", "vec_id")
+    assert out.columns == ["vec_id", "tag", "emb", "cluster"]
+    got = out.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == 4
+    assert got.cluster.tolist()[0] == 2
+    assert pd.isna(got.cluster.tolist()[1])
+    assert got.cluster.tolist()[2] == 3 and got.cluster.tolist()[3] == 1
+    assert got.tag.tolist() == ["a", "b", "c", "d"]

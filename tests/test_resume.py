@@ -417,3 +417,63 @@ def test_driver_side_manifest_equals_spark_view(spark, tmp_path, clips_ready):
     max_snap = int(vp.agg(F.max("snapshot_id")).collect()[0][0])
     # the counter allocates strictly past everything ever written
     assert next_snapshot_id(spark, out) > max_snap
+
+
+def test_legacy_partials_layout_reads_and_migrates(spark, tmp_path, clips_ready):
+    """A pre-r4 out_dir stores metric partials as three per-grain tables.
+    Readers must union legacy + unified (an upgraded directory holds old
+    history AND new-format increments), and vacuum must migrate
+    everything into the unified table."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "legacy")
+    v1 = str(tmp_path / "legacy_v1")
+    clips = spark.read.parquet(CLIPS)
+    clips.filter(F.col("clip_id") < "clip-000000001500").write.parquet(v1)
+    run_resumable(spark, v1, out, n_buckets=N_BUCKETS)
+
+    # rewrite the unified partials into the PRE-r4 three-table layout
+    uni = spark.read.parquet(f"{out}/metrics_partials.parquet").localCheckpoint(
+        eager=True
+    )
+    uni.filter("kind = 'drop_reasons'").select(
+        "snapshot_id", "bucket", "lang", "drop_reason", "n"
+    ).write.parquet(f"{out}/metrics_drop_reasons_partials.parquet")
+    uni.filter("kind = 'lang_conf'").select(
+        "snapshot_id", "bucket", "lang", F.col("bin").alias("conf_bin"), "n"
+    ).write.parquet(f"{out}/metrics_lang_conf_partials.parquet")
+    uni.filter("kind = 'ppl_hist'").select(
+        "snapshot_id", "bucket", "lang", F.col("bin").alias("ppl_bin"), "n"
+    ).write.parquet(f"{out}/metrics_ppl_hist_partials.parquet")
+    shutil.rmtree(f"{out}/metrics_partials.parquet")
+
+    # an increment under the NEW code appends unified-format partials;
+    # the merged view must cover old (legacy) + new (unified) history
+    process_increment(spark, CLIPS, out, n_buckets=N_BUCKETS)
+    dropped = read_committed(spark, out, "dropped")
+    scratch = (
+        dropped.select(
+            "lang", F.explode(F.split("drop_reasons", ",")).alias("drop_reason")
+        )
+        .groupBy("lang", "drop_reason")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    merged = read_metrics(spark, out, "drop_reasons").toPandas()
+    key = ["lang", "drop_reason"]
+    pd.testing.assert_frame_equal(
+        merged.sort_values(key).reset_index(drop=True),
+        scratch.sort_values(key).reset_index(drop=True),
+    )
+
+    # vacuum migrates: legacy dirs gone, unified holds the whole view
+    vacuum(spark, out)
+    assert not os.path.exists(f"{out}/metrics_drop_reasons_partials.parquet")
+    assert not os.path.exists(f"{out}/metrics_lang_conf_partials.parquet")
+    assert not os.path.exists(f"{out}/metrics_ppl_hist_partials.parquet")
+    after = read_metrics(spark, out, "drop_reasons").toPandas()
+    pd.testing.assert_frame_equal(
+        after.sort_values(key).reset_index(drop=True),
+        scratch.sort_values(key).reset_index(drop=True),
+    )
