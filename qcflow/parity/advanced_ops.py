@@ -671,3 +671,54 @@ def x_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p50_bin") + 1) * _HQ_W).alias("p50_chars"),
         ((F.col("p99_bin") + 1) * _HQ_W).alias("p99_chars"),
     )
+
+
+# fractional-epoch weights per source class (floor = guaranteed copies,
+# permille = probability of one extra copy): the LLaMA-style training
+# data mixture — down-sample low-quality sources (< 1 epoch), repeat
+# high-quality ones (> 1 epoch)
+_MIX_BASE = [0, 1, 1, 2]
+_MIX_FRAC_PM = [300, 0, 700, 500]  # class weights 0.3 / 1.0 / 1.7 / 2.5
+
+
+@query(
+    "x_domain_mix",
+    oracle=f"""
+    WITH w(cls, base, frac_pm) AS (VALUES
+      {", ".join(f"({i}, {b}, {f})" for i, (b, f) in enumerate(zip(_MIX_BASE, _MIX_FRAC_PM)))}),
+    d AS (
+      SELECT doc_id, source,
+             CAST(substring(source, 4) AS INT) % 4 AS cls,
+             {_SQL_ID_HASH} % 1000 AS coin
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             base + CASE WHEN coin < frac_pm THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN w USING (cls)
+    )
+    SELECT doc_id, source, CAST(i AS INT) AS copy
+    FROM n, unnest(range(0, n_copies)) AS t(i)
+    """,
+)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain mixing — the training-data mixture step:
+    each source class gets a repetition weight w (0.3x / 1.0x / 1.7x /
+    2.5x here); every document emits floor(w) full copies plus one more
+    iff its deterministic hash coin lands under frac(w). At 10^12 rows
+    this is a scan-side explode — no shuffle, no RNG state, stable
+    across partitionings and restarts — and the copy index lets the
+    downstream epoch shuffler interleave repeats. Weights are a literal
+    broadcast map; in production they come from the mixture config."""
+    docs = t(spark, sf_dir, "documents")
+    cls = F.substring("source", 4, 10).cast("int") % 4
+    base = F.element_at(F.array(*[F.lit(b) for b in _MIX_BASE]), cls + 1)
+    frac = F.element_at(F.array(*[F.lit(f) for f in _MIX_FRAC_PM]), cls + 1)
+    coin = F.pmod(_id_hash("doc_id"), F.lit(1000))
+    n_copies = base + (coin < frac).cast("int")
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))  # sequence(0,-1) DESCENDS
+    return docs.select(
+        "doc_id", "source", F.explode(copies).alias("copy")
+    )

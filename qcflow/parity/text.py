@@ -199,3 +199,91 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPARK_DOCHASH).alias("fingerprint"),
         F.expr(_SPARK_WINHASH).alias("min_window_hash"),
     )
+
+
+# --------------------------------------------------- decontamination
+#
+# The pretraining-data hygiene step every serious pipeline runs (the
+# GPT-3 appendix recipe): flag corpus documents sharing word n-grams
+# with a held-out benchmark/eval set so evaluation data never leaks
+# into training. Scale shape: the benchmark side is TINY relative to a
+# 10^12-doc corpus, so its distinct shingles BROADCAST and the corpus
+# never shuffles — one scan, one broadcast hash join, one per-doc
+# aggregate. The benchmark here is derived from the documents table
+# itself (character spans of every 41st doc), so the oracle is pure SQL
+# over the driver tables with guaranteed non-vacuous overlap.
+
+_DC_N = 5  # word n-gram size (production uses 8-13; 5 suits fixture-length docs)
+
+_DC_SPARK_SH = f"""
+  array_distinct(
+    CASE WHEN size(toks) >= {_DC_N}
+         THEN transform(sequence(0, size(toks) - {_DC_N}),
+                        i -> concat_ws(' ', slice(toks, i + 1, {_DC_N})))
+         ELSE array() END)
+"""
+
+_DC_SQL_SH = f"""
+  list_distinct(
+    CASE WHEN len(toks) >= {_DC_N}
+         THEN list_transform(range(1, len(toks) - {_DC_N} + 2),
+                             i -> array_to_string(toks[i:i+{_DC_N}-1], ' '))
+         ELSE [] END)
+"""
+
+_DC_SQL_BENCH = """
+  SELECT doc_id AS bench_id, substring(text, 11, 120) AS text
+  FROM documents WHERE doc_id % 41 = 0
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH bt AS (SELECT bench_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM ({_DC_SQL_BENCH})),
+    bsh AS (SELECT DISTINCT bench_id, unnest({_DC_SQL_SH}) AS shingle FROM bt),
+    ct AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+    csh AS (SELECT doc_id, unnest({_DC_SQL_SH}) AS shingle FROM ct)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.shingle) AS n_shingles_hit,
+           COUNT(DISTINCT b.bench_id) AS n_bench_hit
+    FROM csh c JOIN bsh b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every corpus document sharing at least
+    one word {n}-gram with the benchmark set, with how many distinct
+    shingles and distinct benchmark rows it hits (the triage columns a
+    removal/quarantine pass keys on). The benchmark's distinct shingles
+    are dimension-sized and BROADCAST — at 10^12 corpus docs the plan is
+    scan -> explode -> broadcast hash join -> per-doc aggregate, no
+    corpus shuffle before the (contaminated-docs-sized) groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    bench = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 11, 120).alias("text"),
+        )
+        .withColumn("toks", toks)
+        .select("bench_id", F.explode(F.expr(_DC_SPARK_SH)).alias("shingle"))
+        .distinct()
+    )
+    corpus = (
+        docs.withColumn("toks", toks)
+        .select("doc_id", F.explode(F.expr(_DC_SPARK_SH)).alias("shingle"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shingles_hit"),
+            F.countDistinct("bench_id").alias("n_bench_hit"),
+        )
+    )

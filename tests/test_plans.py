@@ -316,3 +316,21 @@ def test_ivfpq_batch_prunes_lists_via_hash_join(spark):
         assert "Union" not in p, (name, p)
         assert "BroadcastHashJoin" in p, (name, p)
         assert "NestedLoop" not in p and "Cartesian" not in p, (name, p)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark shingle side
+    and shuffle only the matched rows' per-doc aggregate — a corpus-side
+    shuffle before the join would move 10^12 docs for a dimension-sized
+    benchmark."""
+    p = plan_of(QUERIES["text_decontaminate"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p, p
+    # the CORPUS branch (between the join node and the broadcast build
+    # side) must reach the join straight from its scan — no Exchange;
+    # dimension-sized exchanges on the bench side / post-join aggregates
+    # are fine
+    corpus_branch = p.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
+    assert "Exchange" not in corpus_branch, corpus_branch
+    assert "FileScan" in corpus_branch, corpus_branch
