@@ -25,7 +25,8 @@ Catalyst analysis + codegen cost AND, past the JVM's 64 KB codegen
 method ceiling, fall back to interpreted evaluation. On the CORPUS side
 (n huge — assign_clusters, pq_assign) interpreted per-row evaluation is
 fatal, so both dispatch to broadcast-TABLE join strategies above a size
-threshold (k > 128 / M*ks > 512), with bit-identical float semantics.
+threshold (k*d > 512 fold terms / M*ks > 512), with bit-identical float
+semantics.
 On the QUERY side (Q small, broadcast — ADC LUTs, probe selection) the
 compile cost is per-plan, not per-row, and interpreted evaluation of a
 few thousand query rows is immaterial — so those stay expressions at
@@ -71,26 +72,30 @@ def assign_clusters(
     emb_col: str = "emb",
     out_col: str = "cluster",
     id_col: str | None = None,
-    max_inline_k: int = 128,
+    max_inline_terms: int = 512,
 ) -> DataFrame:
     """Nearest-centroid (L2) assignment; 1-based index, first-minimum
     tie-break.
 
     Two physical strategies with IDENTICAL float semantics (same
     sequential-fold dot, same |c|^2 numpy-sum literal, same
-    lexicographic tie-break):
-    - k <= max_inline_k (or no id_col): ONE codegen'd projection with
-      the k*d centroid literals inlined — no shuffle, no join; the
-      right plan for the small-k hot path.
-    - larger k (id_col required): the literal expression tree stops
-      being viable (Catalyst analysis/codegen scale with k*d, and a
-      10^12-vector index wants k ~ 4096 coarse lists), so the codebook
-      ships as a broadcast TABLE instead: expand to (row, centroid)
-      pairs, reduce per row with a map-side-combinable min(struct(d,
-      cluster, row-payload)) aggregation — the payload rides the min, so
-      ONE scan, one broadcast, one n-row shuffle, any k
-      (_assign_clusters_join for the row-level contract)."""
-    if len(centroids) <= max_inline_k or id_col is None:
+    lexicographic tie-break), dispatched on k*d — the fold-term count
+    that actually drives Catalyst analysis/codegen cost (measured: the
+    k=16 x d=64 Lloyd assignment spent 3-10s PER ITERATION in analysis
+    before this gate counted dims):
+    - k*d <= max_inline_terms (or no id_col): ONE codegen'd projection
+      with the centroid literals inlined — no shuffle, no join; the
+      right plan for the small-codebook hot path.
+    - larger codebooks (id_col required): the literal expression tree
+      stops being viable (a 10^12-vector index wants k ~ 4096 coarse
+      lists), so the codebook ships as a broadcast TABLE instead:
+      expand to (row, centroid) pairs, reduce per row with a map-side
+      combinable min(struct(d, cluster, row-payload)) aggregation — the
+      payload rides the min, so ONE scan, one broadcast, one n-row
+      shuffle, any k (_assign_clusters_join for the row-level
+      contract)."""
+    n_terms = int(centroids.shape[0]) * int(centroids.shape[1])
+    if n_terms <= max_inline_terms or id_col is None:
         scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
         return df.withColumn(
             out_col, F.array_position(scores, F.array_min(scores)).cast("int")

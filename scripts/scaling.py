@@ -421,7 +421,10 @@ box).
 - ANN search bench keys (judge r3 #8): ann_ivf_train_k16 5.3s (2k x
   64-d, 4 Lloyd iterations — dominated by Catalyst analysis/codegen of
   the 16x64-literal assignment expression, a constant per iteration
-  that amortizes at scale, and varies 5-13s with driver load);
+  that amortizes at scale, and varies 5-13s with driver load). Late-r4
+  fix: assignment dispatch now counts k*d fold TERMS, not k alone, so
+  this 1024-term shape takes the broadcast-table strategy — interleaved
+  same-session A/B measured literal 8.1/4.8s vs join 3.7/2.5s (~2x);
   ann_ivf_search_q100 3.2s for the broadcast-probe hash join + exact
   rerank at Q=100; ann_pq_adc_batch_q1000 5.1s for the r4 single-join
   batch ADC path at Q=1000 over M=8/ks=16 codes (the literal union

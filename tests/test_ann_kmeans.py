@@ -89,7 +89,7 @@ def test_join_assignment_equals_inline(spark):
         "vec_id long, emb array<double>",
     )
     a = (
-        assign_clusters(vec, cents)  # k=32 <= max_inline_k -> literal path
+        assign_clusters(vec, cents)  # 32*8=256 terms <= 512 -> literal path
         .select("vec_id", "cluster")
         .toPandas()
         .sort_values("vec_id")
@@ -119,7 +119,7 @@ def test_large_k_dispatch_recovers_planted_clusters(spark):
     from qcflow.ann import assign_clusters
 
     rng = np.random.default_rng(321)
-    k, d, per = 160, 6, 6  # k=160 > max_inline_k=128
+    k, d, per = 160, 6, 6  # 160*6=960 terms > 512 -> join strategy
     cents = rng.normal(0.0, 1.0, (k, d)) * 30.0
     emb = np.round(
         cents[np.repeat(np.arange(k), per)] + rng.normal(0.0, 0.05, (k * per, d)), 6
