@@ -99,25 +99,31 @@ def main() -> int:
 
     pcm_rows = min(BENCH_CLIP_ROWS, 10000)
     slice_ = clips.filter(F.col("clip_id") < f"clip-{pcm_rows:012d}")
-    t0 = time.time()
-    res2 = score_clips(spark, slice_, exact_thresholds=False, check_pcm=True)
-    res2.scored.filter("NOT keep").groupBy("lang").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
-    pcm_sec = time.time() - t0
+
+    # both decode-crossing keys are min-of-2: they stage through the
+    # shared vdisk whose run-to-run spread is the documented 3-5x
+    # (identical-code acoustic passes measured 6.0s and 52.5s in one r4
+    # hour) — a single unlucky pass must not define the round's artifact
+    def _timed_decode(**kw) -> float:
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            r = score_clips(spark, slice_, exact_thresholds=False, **kw)
+            r.scored.filter("NOT keep").groupBy("lang").count().write.format(
+                "noop"
+            ).mode("overwrite").save()
+            sec = time.time() - t0
+            r.release()
+            best = sec if best is None or sec < best else best
+        return best
+
+    pcm_sec = _timed_decode(check_pcm=True)
     queries["qc_pipeline_pcm"] = round(pcm_sec, 3)
-    res2.release()
 
     # acoustic QC stage (decode + clip/silence/ZCR/DC features + rules) on
     # the same 10k slice — the second decode-crossing variant
-    t0 = time.time()
-    res3 = score_clips(spark, slice_, exact_thresholds=False, check_acoustics=True)
-    res3.scored.filter("NOT keep").groupBy("lang").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
-    ac_sec = time.time() - t0
+    ac_sec = _timed_decode(check_acoustics=True)
     queries["qc_pipeline_acoustic"] = round(ac_sec, 3)
-    res3.release()
 
     # resumable checkpoint path: the same 60k clips written as 4 snapshot
     # increments of 16 buckets each (thresholds derived once up front,
