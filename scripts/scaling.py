@@ -399,8 +399,8 @@ box).
 ## Round-4 deltas (measured on a cooled box, bench.py keys)
 
 - Resumable-increment fixed cost (judge r3 #3): qc_resume_4increments
-  36.3s -> 13.9s best / ~19s typical at the same 60k-clip scale, vs
-  qc_pipeline 4.1s — ratio 7.3x -> ~3.4x. The fix: ONE bucket shuffle
+  36.3s -> 13.0s best / ~19s typical at the same 60k-clip scale, vs
+  qc_pipeline 4.0s (15,035 clips/s) — ratio 7.3x -> ~3.3x. The fix: ONE bucket shuffle
   staged for both kept/dropped writes (was two), the three metric
   partial grains folded into ONE long-form metrics_partials append (was
   three serial dimension-sized jobs), lineage committed as a driver-side
