@@ -222,14 +222,31 @@ def kmeans_fit(
     n_iter: int = 10,
     tol: float = 1e-6,
     init: str = "hash",
+    sample_size: int = 65536,
 ) -> np.ndarray:
     """Lloyd's k-means; returns the (k, d) codebook. ``df[emb_col]`` must
     be array<double>. Deterministic given the data and id column.
-    ``init='farthest'`` uses the farthest-first traversal (one seed per
-    well-separated cluster, guaranteed); ``'hash'`` is the cheap default
-    (one job instead of k)."""
+    ``init='farthest'`` runs the distributed farthest-first traversal
+    (one seed per well-separated cluster, guaranteed — but k scalar
+    jobs, so only for small k); ``'sample'`` runs the SAME Gonzalez
+    traversal in numpy over one deterministic hash-ordered sample
+    (<= sample_size rows, ONE job regardless of k — the pq_train
+    recipe, and the right init for k ~ 4096 coarse lists; the guarantee
+    holds whenever the sample covers every cluster); ``'hash'`` is the
+    cheap default (one job, no separation guarantee)."""
     if init == "farthest":
         centroids = farthest_first_init(df, k, emb_col=emb_col, id_col=id_col)
+        return _lloyd(df, centroids, emb_col, id_col, n_iter, tol)
+    if init == "sample":
+        rows = (
+            df.select(id_col, emb_col)
+            .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(sample_size)
+            .collect()
+        )
+        x = np.array([r[emb_col] for r in rows], dtype=np.float64)
+        centroids = _gonzalez_np(x, k)
         return _lloyd(df, centroids, emb_col, id_col, n_iter, tol)
     init_rows = (
         df.select(id_col, emb_col)

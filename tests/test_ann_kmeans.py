@@ -175,3 +175,16 @@ def test_join_assignment_row_semantics(spark):
     assert pd.isna(got.cluster.tolist()[1])
     assert got.cluster.tolist()[2] == 3 and got.cluster.tolist()[3] == 1
     assert got.tag.tolist() == ["a", "b", "c", "d"]
+
+
+def test_sample_init_recovers_blobs(spark, blobs):
+    """init='sample' (driver-side Gonzalez over a hash sample — one job
+    for any k, the large-k seeding path) must recover the planted blobs
+    exactly like init='farthest'."""
+    c = kmeans_fit(blobs, k=BLOBS, n_iter=5, init="sample")
+    assigned = assign_clusters(blobs, c).select("blob", "cluster").toPandas()
+    purity = assigned.groupby("cluster").blob.agg(
+        lambda s: s.value_counts().iloc[0] / len(s)
+    )
+    assert (purity == 1.0).all()
+    assert assigned.cluster.nunique() == BLOBS
