@@ -134,18 +134,27 @@ def main() -> int:
 
     from qcflow.checkpoint import run_resumable
 
-    resume_dir = f"{out_dir}_resume"
-    shutil.rmtree(resume_dir, ignore_errors=True)
-    t0 = time.time()
-    for _inc in range(4):
-        run_resumable(
-            spark,
-            f"{CLIPS_CACHE}/clips.parquet",
-            resume_dir,
-            exact_thresholds=False,
-            max_buckets=16,
-        )
-    queries["qc_resume_4increments"] = round(time.time() - t0, 3)
+    # min-of-2 (same rationale as the decode keys): the resume path's many
+    # small jobs + staging-table writes ride the shared vdisk, and the
+    # first pass in a session additionally pays codegen/plan warmup for
+    # plans qc_pipeline's warmup never compiled (r5: first pass measured
+    # ~2x the steady-state pass in one session)
+    resume_best = None
+    for _rep in range(2):
+        resume_dir = f"{out_dir}_resume"
+        shutil.rmtree(resume_dir, ignore_errors=True)
+        t0 = time.time()
+        for _inc in range(4):
+            run_resumable(
+                spark,
+                f"{CLIPS_CACHE}/clips.parquet",
+                resume_dir,
+                exact_thresholds=False,
+                max_buckets=16,
+            )
+        sec = time.time() - t0
+        resume_best = sec if resume_best is None or sec < resume_best else resume_best
+    queries["qc_resume_4increments"] = round(resume_best, 3)
 
     # --- ANN search throughput ------------------------------------------
     # Trained-IVF probe-join search (qcflow/ann.ivf_topk) at Q=100 over

@@ -477,3 +477,107 @@ def test_legacy_partials_layout_reads_and_migrates(spark, tmp_path, clips_ready)
         after.sort_values(key).reset_index(drop=True),
         scratch.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_staged_scores_exist_and_legacy_fallback(spark, tmp_path, clips_ready):
+    """r5: the first attempt stages its threshold-pass scores; increments
+    read them instead of re-running the langid UDF. A legacy out_dir
+    (thresholds saved, no stage table) must still resume correctly via
+    the re-score fallback, and both paths land the identical kept set."""
+    import os
+    import shutil
+
+    staged_dir = str(tmp_path / "staged")
+    run_resumable(spark, CLIPS, staged_dir, n_buckets=N_BUCKETS, max_buckets=6)
+    assert os.path.exists(f"{staged_dir}/scores_stage.parquet")
+    # staged table covers the FULL input (derivation pass), one row per clip
+    staged = spark.read.parquet(f"{staged_dir}/scores_stage.parquet")
+    assert staged.count() == 2000
+    assert staged.select("clip_id").distinct().count() == 2000
+
+    # legacy twin: same thresholds, stage table deleted before the resume
+    legacy_dir = str(tmp_path / "legacy")
+    run_resumable(spark, CLIPS, legacy_dir, n_buckets=N_BUCKETS, max_buckets=6)
+    shutil.rmtree(f"{legacy_dir}/scores_stage.parquet")
+    run_resumable(spark, CLIPS, legacy_dir, n_buckets=N_BUCKETS)
+
+    run_resumable(spark, CLIPS, staged_dir, n_buckets=N_BUCKETS)
+    for table in ["kept", "dropped"]:
+        a = _pdf(read_committed(spark, staged_dir, table))
+        b = _pdf(read_committed(spark, legacy_dir, table))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_with_byte_stages_matches_oneshot(spark, tmp_path, clips_ready):
+    """r5: the staged-score resume path with check_pcm on (byte-derived
+    columns joined onto the staged narrow frame) must equal the one-shot
+    check_pcm pipeline row-for-row."""
+    resumed = str(tmp_path / "resumed_pcm")
+    oneshot = str(tmp_path / "oneshot_pcm")
+    run_resumable(
+        spark, CLIPS, resumed, n_buckets=N_BUCKETS, max_buckets=7, check_pcm=True
+    )
+    run_resumable(spark, CLIPS, resumed, n_buckets=N_BUCKETS, check_pcm=True)
+
+    clips = spark.read.parquet(CLIPS)
+    res = score_clips(spark, clips, n_buckets=N_BUCKETS, check_pcm=True)
+    write_outputs(res, oneshot)
+    res.release()
+    for table in ["kept", "dropped"]:
+        a = _pdf(read_committed(spark, resumed, table))
+        b = _pdf(spark.read.parquet(f"{oneshot}/{table}.parquet"))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_merge_replace_refreshes_stage(spark, tmp_path, clips_ready):
+    """r5: replacing a bucket from a corrected input must refresh that
+    bucket's STAGED scores too (dynamic partition overwrite), so the
+    stage table never serves stale pre-correction rows, while other
+    buckets' staged rows stay untouched."""
+    from qcflow.checkpoint import merge_replace_buckets
+    from qcflow.pipeline import bucket_col
+
+    out = str(tmp_path / "replace_stage")
+    run_resumable(spark, CLIPS, out, n_buckets=N_BUCKETS)
+
+    corrected_path = str(tmp_path / "corrected.parquet")
+    clips = spark.read.parquet(CLIPS)
+    target = 3
+    corrected = clips.withColumn(
+        "transcript",
+        F.when(
+            F.pmod(F.xxhash64("clip_id"), F.lit(N_BUCKETS)).cast("int") == target,
+            F.lit(""),  # corrected transcripts: now empty -> must drop
+        ).otherwise(F.col("transcript")),
+    )
+    corrected.write.mode("overwrite").parquet(corrected_path)
+    before = (
+        spark.read.parquet(f"{out}/scores_stage.parquet")
+        .filter(F.col("bucket") != target)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    merge_replace_buckets(spark, corrected_path, out, [target], n_buckets=N_BUCKETS)
+
+    staged = spark.read.parquet(f"{out}/scores_stage.parquet")
+    # replaced bucket's staged rows reflect the corrected (empty) transcripts
+    tgt = staged.filter(F.col("bucket") == target).toPandas()
+    assert len(tgt) > 0 and (tgt.n_chars == 0).all()
+    # other buckets untouched
+    after = (
+        staged.filter(F.col("bucket") != target)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)], after[sorted(after.columns)]
+    )
+    # and the committed view dropped every corrected clip
+    dropped = read_committed(spark, out, "dropped").filter(
+        F.col("bucket") == target
+    )
+    kept = read_committed(spark, out, "kept").filter(F.col("bucket") == target)
+    assert kept.count() == 0
+    assert dropped.filter(F.col("drop_reasons").contains("empty_transcript")).count() == dropped.count()
