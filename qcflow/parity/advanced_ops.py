@@ -710,7 +710,12 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     across partitionings and restarts — and the copy index lets the
     downstream epoch shuffler interleave repeats. Weights are a literal
     broadcast map; in production they come from the mixture config."""
-    docs = t(spark, sf_dir, "documents")
+    return _mixed_stream(t(spark, sf_dir, "documents"))
+
+
+def _mixed_stream(docs: DataFrame) -> DataFrame:
+    """The (doc_id, source, copy) mixture stream of x_domain_mix — shared
+    with the epoch shuffler, which interleaves exactly these rows."""
     cls = F.substring("source", 4, 10).cast("int") % 4
     base = F.element_at(F.array(*[F.lit(b) for b in _MIX_BASE]), cls + 1)
     frac = F.element_at(F.array(*[F.lit(f) for f in _MIX_FRAC_PM]), cls + 1)
@@ -721,4 +726,164 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))  # sequence(0,-1) DESCENDS
     return docs.select(
         "doc_id", "source", F.explode(copies).alias("copy")
+    )
+
+
+# epoch-shuffle parameters: the seed makes each training epoch a fresh
+# deterministic permutation; the shard count is the number of output
+# files/readers (thousands at production scale — here sized so every
+# test SF fills every shard)
+_EPOCH_SEED = 42
+_N_SHARDS = 16
+# mixing the copy index into the hash separates a doc's repeats; the
+# second multiplier is an arbitrary odd constant, reduced mod P with the
+# same overflow discipline as _SQL_ID_HASH
+_SHUF_SQL_H = (
+    f"((((doc_id % {HASH_P}) * {HASH_K}) % {HASH_P})"
+    f" + copy * 97003 + {_EPOCH_SEED}) % {HASH_P}"
+)
+
+
+def _shuffle_hash():
+    return F.pmod(
+        _id_hash("doc_id") + F.col("copy") * F.lit(97003) + F.lit(_EPOCH_SEED),
+        F.lit(HASH_P),
+    )
+
+
+@query(
+    "x_epoch_shuffle",
+    oracle=f"""
+    WITH w(cls, base, frac_pm) AS (VALUES
+      {", ".join(f"({i}, {b}, {f})" for i, (b, f) in enumerate(zip(_MIX_BASE, _MIX_FRAC_PM)))}),
+    d AS (
+      SELECT doc_id, source,
+             CAST(substring(source, 4) AS INT) % 4 AS cls,
+             {_SQL_ID_HASH} % 1000 AS coin
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             base + CASE WHEN coin < frac_pm THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN w USING (cls)
+    ),
+    mixed AS (
+      SELECT doc_id, CAST(i AS INT) AS copy, {_SHUF_SQL_H} AS h
+      FROM n, unnest(range(0, n_copies)) AS u(i)
+    )
+    SELECT doc_id, copy,
+           CAST(h % {_N_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id, copy
+           ) AS BIGINT) AS shard_pos
+    FROM mixed
+    """,
+)
+def x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch interleave — the global-shuffle step after
+    x_domain_mix: every (doc, copy) row of the mixture stream is placed
+    by h = hash(doc_id, copy, epoch_seed) into shard h % N and ordered
+    within its shard by h. One HASH exchange on shard + an in-partition
+    sort — NEVER a global range sort (Exchange rangepartitioning), which
+    at 10^12 rows would add a sampling pass and a skew-prone range
+    boundary; hash sharding is also stable across partitionings,
+    restarts and cluster sizes, so epoch N's layout is reproducible
+    bit-for-bit. shard_pos is the within-shard position a training
+    reader consumes in order; the production writer is
+    repartition(N, shard) + sortWithinPartitions(h) straight into the
+    shard files (same plan shape, no rank materialized), with N in the
+    thousands so a shard fits one task."""
+    mixed = _mixed_stream(t(spark, sf_dir, "documents")).select(
+        "doc_id", "copy", _shuffle_hash().alias("h")
+    )
+    shard = F.pmod(F.col("h"), F.lit(_N_SHARDS)).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id", "copy")
+    return (
+        mixed.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "copy", "shard", "shard_pos")
+    )
+
+
+# sequence-packing parameters: budget is the training-row token budget
+# (2048-8192 in production; sized here so packs hold ~15 synthetic docs),
+# G is the number of independent packing groups (one task each — at
+# 10^12 rows G is tens of thousands, so a group streams through one
+# executor core while groups run fully parallel)
+_PACK_BUDGET = 512
+_PACK_G = 8
+_PACK_SQL_H = f"(((doc_id % {HASH_P}) * {HASH_K}) % {HASH_P})"
+
+
+@query(
+    "x_sequence_pack",
+    oracle=f"""
+    WITH RECURSIVE numbered AS (
+      SELECT doc_id, h, n_tok,
+             CAST(h % {_PACK_G} AS INT) AS grp,
+             ROW_NUMBER() OVER (
+               PARTITION BY h % {_PACK_G} ORDER BY h, doc_id
+             ) AS rn
+      FROM (
+        SELECT doc_id, {_PACK_SQL_H} AS h,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        FROM documents
+      )
+    ),
+    packed AS (
+      SELECT doc_id, grp, rn, n_tok,
+             0 AS pack_id, n_tok AS used
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.doc_id, n.grp, n.rn, n.n_tok,
+             CASE WHEN p.used + n.n_tok > {_PACK_BUDGET}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.used + n.n_tok > {_PACK_BUDGET}
+                  THEN n.n_tok ELSE p.used + n.n_tok END
+      FROM packed p JOIN numbered n
+        ON n.grp = p.grp AND n.rn = p.rn + 1
+    )
+    SELECT doc_id, grp, CAST(pack_id AS INT) AS pack_id,
+           CAST(n_tok AS INT) AS n_tok
+    FROM packed
+    """,
+)
+def x_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — documents folded into fixed-token-budget
+    training rows: greedy next-fit within deterministic hash-ordered
+    groups (grp = hash(doc_id) % G, order = (hash, doc_id)); a pack
+    closes when the next doc would overflow the budget. The packing is a
+    per-group sequential recurrence, so it runs as applyInPandas (one
+    hash shuffle on grp, one linear pass per group — no driver loop, no
+    global sort); determinism comes from the hash order, never from
+    partition layout. Docs longer than the budget get a pack of their
+    own (the only packs that may exceed it). The DuckDB twin replays the
+    identical recurrence as a recursive CTE."""
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _id_hash("doc_id").alias("h"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("n_tok"),
+    )
+    grp = F.pmod(F.col("h"), F.lit(_PACK_G)).cast("int")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        packs, used, cur = [], 0, 0
+        for n_tok in pdf["n_tok"]:
+            if packs and used + n_tok > _PACK_BUDGET:
+                cur += 1
+                used = 0
+            used += int(n_tok)
+            packs.append(cur)
+        pdf["pack_id"] = pd.Series(packs, dtype="int32")
+        return pdf[["doc_id", "grp", "pack_id", "n_tok"]]
+
+    return (
+        docs.withColumn("grp", grp)
+        .groupBy("grp")
+        .applyInPandas(pack, "doc_id long, grp int, pack_id int, n_tok int")
     )

@@ -89,3 +89,47 @@ def test_ks_sketch_grid_tracks_exact(spark, sf_dir):
         assert abs(float(approx[g]) - float(exact[g])) < 0.02, (
             g, float(approx[g]), float(exact[g]),
         )
+
+
+def test_sequence_pack_properties(spark, sf_dir):
+    """r5 packing invariants: every document lands in exactly one pack;
+    no multi-doc pack exceeds the token budget (a single doc longer than
+    the budget is allowed a pack of its own); pack ids are contiguous
+    from 0 within every group."""
+    from qcflow.parity.advanced_ops import _PACK_BUDGET
+
+    pdf = QUERIES["x_sequence_pack"](spark, sf_dir).toPandas()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(pdf) == n_docs
+    assert pdf.doc_id.is_unique
+    sizes = pdf.groupby(["grp", "pack_id"]).agg(
+        tok=("n_tok", "sum"), docs=("doc_id", "count")
+    )
+    over = sizes[(sizes.tok > _PACK_BUDGET) & (sizes.docs > 1)]
+    assert over.empty, over
+    for _, g in pdf.groupby("grp"):
+        ids = sorted(g.pack_id.unique())
+        assert ids == list(range(len(ids)))
+
+
+def test_epoch_shuffle_partition_invariance(spark, sf_dir):
+    """r5 epoch-interleave determinism: shard positions are contiguous
+    1..n per shard, and the full assignment is identical under a
+    different shuffle-partition count (layout independence is the whole
+    point of hash-seeded sharding)."""
+    a = QUERIES["x_epoch_shuffle"](spark, sf_dir).toPandas()
+    per = a.groupby("shard").shard_pos.agg(["min", "max", "count"])
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = QUERIES["x_epoch_shuffle"](spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    key = ["doc_id", "copy"]
+    pd_a = a.sort_values(key).reset_index(drop=True)
+    pd_b = b.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_a, pd_b)

@@ -334,3 +334,23 @@ def test_decontaminate_broadcasts_benchmark(spark):
     )[0]
     assert "Exchange" not in corpus_branch, corpus_branch
     assert "FileScan" in corpus_branch, corpus_branch
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The epoch interleave must be hash-partition + in-partition sort:
+    ONE hash Exchange (for the shard window), never a range Exchange
+    (global sort = sampling pass + skew-prone boundaries at 10^12 rows).
+    The mixture explode itself is scan-side — no Exchange of its own."""
+    p = plan_of(QUERIES["x_epoch_shuffle"](spark, SF), "simple")
+    assert "rangepartitioning" not in p, p
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning" in p, p
+
+
+def test_sequence_pack_one_shuffle_no_sort_exchange(spark):
+    """Sequence packing shuffles ONCE on the group key; the hash-order
+    sort is in-partition (inside the grouped-map), never a global range
+    Exchange."""
+    p = plan_of(QUERIES["x_sequence_pack"](spark, SF), "simple")
+    assert "rangepartitioning" not in p, p
+    assert p.count("Exchange") == 1, p
