@@ -321,12 +321,17 @@ def ivf_topk(
     nprobe: int = 2,
     emb_col: str = "emb",
     id_col: str = "vec_id",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Trained-IVF ANN: corpus rows live in their nearest-centroid list;
     each query probes its ``nprobe`` nearest lists and reranks exactly by
     cosine. Returns (query_id, neighbor_id, cosine, rank). At scale the
     cluster column is the partition layout and the probe join shuffles
-    (cluster, id) pairs only."""
+    (cluster, id) pairs only. Queries here share the corpus id space
+    (leave-one-out), so ``exclude_self`` defaults on; pass False for an
+    external query table. ``broadcast_queries=False`` shuffle-joins on
+    the cluster key for query sets too large to broadcast."""
     nrm = F.sqrt(_sq_norm(F.col(emb_col)))
     lists = assign_clusters(
         corpus, centroids, emb_col=emb_col, id_col=id_col
@@ -360,10 +365,11 @@ def ivf_topk(
         )
     )
     dot = _dot(F.col("q_emb"), F.col(emb_col))
+    cond = F.col("cluster") == F.col("probe")
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col("query_id"))
     scored = lists.join(
-        F.broadcast(probes),
-        (F.col("cluster") == F.col("probe"))
-        & (F.col(id_col) != F.col("query_id")),
+        F.broadcast(probes) if broadcast_queries else probes, cond
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -636,15 +642,28 @@ def pq_adc_topk_df(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_emb_col: str = "q_emb",
+    exclude_self: bool = False,
+    broadcast_queries: bool = True,
+    n_corpus_buckets: int = 64,
 ) -> DataFrame:
     """DataFrame-native batch ADC top-k: the queries are ANY DataFrame
     with (query_id, q_emb) — they never need to be driver-resident. The
     per-query inner-product LUT is computed in-frame (``_lut_ip_col``,
     same fold arithmetic as the driver-side pq_lut), the query side is
     broadcast against ONE scan of the codes table, and scoring is M
-    element_at lookups per pair — one plan for any Q. For query sets too
-    large to broadcast, swap F.broadcast for a shuffle join on a
-    replicated key; the scoring expression is unchanged."""
+    element_at lookups per pair — one plan for any Q.
+
+    ``exclude_self`` drops pairs where the corpus id equals the query
+    id — ONLY for query sets drawn from the corpus itself (the dedup /
+    leave-one-out shape). External query ids live in a different id
+    space, so the default keeps every neighbor: a coincidental id
+    collision must not silently drop a valid result.
+
+    ``broadcast_queries=False`` is the huge-query-set escape hatch: the
+    codes are bucketed by hash(id) % ``n_corpus_buckets`` and each query
+    row is replicated once per bucket, so the pairing becomes a SHUFFLE
+    hash join on the bucket key — no driver-sized broadcast, both sides
+    distributed. Scoring and ranking are unchanged (same floats)."""
     M = codebooks.shape[0]
     # normalize names FIRST, compute in a second select: referencing a
     # same-name alias from a sibling expression trips Spark 4's lateral
@@ -656,9 +675,27 @@ def pq_adc_topk_df(
     q = q0.select(
         "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
     )
-    out = codes.join(
-        F.broadcast(q), F.col(id_col) != F.col("query_id")
-    ).select(
+    not_self = F.col(id_col) != F.col("query_id")
+    if broadcast_queries:
+        joined = codes.join(
+            F.broadcast(q), not_self if exclude_self else F.lit(True)
+        )
+    else:
+        bcodes = codes.withColumn(
+            "_bkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_corpus_buckets)).cast(
+                "int"
+            ),
+        )
+        bq = q.withColumn(
+            "_bkt", F.explode(F.sequence(F.lit(0), F.lit(n_corpus_buckets - 1)))
+        )
+        joined = bcodes.join(
+            bq.withColumnRenamed("_bkt", "_qbkt"),
+            (F.col("_bkt") == F.col("_qbkt"))
+            & (not_self if exclude_self else F.lit(True)),
+        )
+    out = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         _adc_from_lut(M).alias("adc_score"),
@@ -698,7 +735,12 @@ def pq_adc_topk(
     M = codebooks.shape[0]
     if not inline:
         return pq_adc_topk_df(
-            codes, _queries_df(codes, queries), codebooks, k=k, id_col=id_col
+            codes,
+            _queries_df(codes, queries),
+            codebooks,
+            k=k,
+            id_col=id_col,
+            exclude_self=True,  # queries are corpus rows (leave-one-out)
         )
     per_q = []
     for qid, qvec in queries:
@@ -758,13 +800,21 @@ def ivfpq_topk_df(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_emb_col: str = "q_emb",
+    exclude_self: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """DataFrame-native batch IVF+PQ search over an ALREADY-ENCODED
     corpus table (id, cluster, code_0..code_{M-1}) — the stored index
     layout, so repeated query batches never re-encode. Probes resolve
     in-frame, the inner-product LUT is shared across a query's probes,
     and the probe frame broadcast-hash-joins the codes on cluster ==
-    probe (the join key IS the inverted-list pruning)."""
+    probe (the join key IS the inverted-list pruning).
+
+    ``exclude_self`` is for query sets drawn from the corpus (drops
+    id == query_id pairs); external ids keep every neighbor by default.
+    ``broadcast_queries=False`` drops the broadcast hint so a huge
+    query-probe frame SHUFFLE-joins on the cluster key instead — both
+    sides distributed, same floats, same ranks."""
     M = codebooks.shape[0]
     q0 = queries_df.select(
         F.col(query_id_col).cast("long").alias("query_id"),
@@ -777,10 +827,11 @@ def ivfpq_topk_df(
             _probe_col(F.col("q_emb"), centroids, nprobe)
         ).alias("probe"),
     )
+    cond = F.col("cluster") == F.col("probe")
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col("query_id"))
     out = coded.join(
-        F.broadcast(q),
-        (F.col("cluster") == F.col("probe"))
-        & (F.col(id_col) != F.col("query_id")),
+        F.broadcast(q) if broadcast_queries else q, cond
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -845,6 +896,7 @@ def ivfpq_topk(
             k=k,
             nprobe=nprobe,
             id_col=id_col,
+            exclude_self=True,  # queries are corpus rows (leave-one-out)
         )
     per_q = []
     for qid, qvec in queries:
@@ -904,13 +956,18 @@ def ivfpq_residual_topk_df(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_emb_col: str = "q_emb",
+    exclude_self: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """DataFrame-native batch residual-IVFPQ search over an
     ALREADY-ENCODED corpus (id, cluster, residual code_0..code_{M-1}).
     Each (query, probe) row computes its residual against that probe's
     centroid and its L2 ADC LUT in one projection; the probe frame
     broadcast-hash-joins the codes on cluster == probe. Ranks ascend by
-    distance."""
+    distance. ``exclude_self`` / ``broadcast_queries`` as in
+    ``ivfpq_topk_df`` — external ids keep every neighbor by default,
+    and dropping the broadcast hint shuffle-joins on the cluster key
+    for query sets too large to broadcast."""
     M = codebooks.shape[0]
     centers_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
@@ -940,10 +997,11 @@ def ivfpq_residual_topk_df(
             ).alias("_lut"),
         )
     )
+    cond = F.col("cluster") == F.col("probe")
+    if exclude_self:
+        cond = cond & (F.col(id_col) != F.col("query_id"))
     out = coded.join(
-        F.broadcast(q),
-        (F.col("cluster") == F.col("probe"))
-        & (F.col(id_col) != F.col("query_id")),
+        F.broadcast(q) if broadcast_queries else q, cond
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
@@ -1010,6 +1068,7 @@ def ivfpq_residual_topk(
             k=k,
             nprobe=nprobe,
             id_col=id_col,
+            exclude_self=True,  # queries are corpus rows (leave-one-out)
         )
     per_probe = []
     for qid, qvec in queries:

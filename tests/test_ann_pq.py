@@ -298,7 +298,7 @@ def test_df_native_query_apis_match_list_apis(spark):
     codes = pq_assign(vec, cb)
     cmp(
         pq_adc_topk(codes, q_list, cb, k=5),
-        pq_adc_topk_df(codes, q_df, cb, k=5),
+        pq_adc_topk_df(codes, q_df, cb, k=5, exclude_self=True),
         ["query_id", "neighbor_id", "adc_score", "rank"],
     )
     coded_abs = pq_assign(
@@ -306,7 +306,7 @@ def test_df_native_query_apis_match_list_apis(spark):
     ).select("vec_id", "cluster", *[f"code_{m}" for m in range(M)])
     cmp(
         ivfpq_topk(vec, q_list, centers, cb, k=5, nprobe=2),
-        ivfpq_topk_df(coded_abs, q_df, centers, cb, k=5, nprobe=2),
+        ivfpq_topk_df(coded_abs, q_df, centers, cb, k=5, nprobe=2, exclude_self=True),
         ["query_id", "neighbor_id", "adc_score", "rank"],
     )
     centers_lit = F.array(
@@ -326,6 +326,88 @@ def test_df_native_query_apis_match_list_apis(spark):
     ).select("vec_id", "cluster", *[f"code_{m}" for m in range(M)])
     cmp(
         ivfpq_residual_topk(vec, q_list, centers, cb, k=5, nprobe=2),
-        ivfpq_residual_topk_df(coded_res, q_df, centers, cb, k=5, nprobe=2),
+        ivfpq_residual_topk_df(coded_res, q_df, centers, cb, k=5, nprobe=2, exclude_self=True),
         ["query_id", "neighbor_id", "adc_dist", "rank"],
     )
+
+
+def test_external_ids_and_shuffle_join_paths(spark):
+    """r5 semantics + escape-hatch coverage. (1) External query ids that
+    coincidentally collide with corpus ids must NOT lose a neighbor:
+    default exclude_self=False keeps the full corpus per query. (2) The
+    huge-query-set escape hatch (broadcast_queries=False) must produce
+    identical rows through a SHUFFLE join — bucket-replicated for flat
+    ADC, key-join-without-hint for IVFPQ — with no broadcast exchange on
+    the query side of the plan."""
+    from qcflow.ann import (
+        assign_clusters,
+        ivfpq_topk_df,
+        pq_adc_topk_df,
+    )
+
+    rng = np.random.default_rng(77)
+    M, ks, dsub, n, ncl = 4, 8, 4, 160, 4
+    cb = np.round(rng.normal(0.0, 1.0, (M, ks, dsub)), 6)
+    centers = np.round(rng.normal(0.0, 1.0, (ncl, M * dsub)) * 20.0, 6)
+    emb = np.round(
+        centers[np.arange(n) % ncl] + rng.normal(0.0, 1.0, (n, M * dsub)), 6
+    )
+    vec = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "emb": [r.tolist() for r in emb]}),
+        "vec_id long, emb array<double>",
+    )
+    codes = pq_assign(vec, cb)
+    # external queries whose ids collide with corpus ids 0..11
+    q_df = vec.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+    # (1) at k = n the leave-one-out result is EXACTLY the external
+    # result minus the 12 colliding self pairs — the default drops
+    # nothing
+    ext = pq_adc_topk_df(codes, q_df, cb, k=n).toPandas()
+    loo = pq_adc_topk_df(codes, q_df, cb, k=n, exclude_self=True).toPandas()
+    assert len(ext) == 12 * n and len(loo) == 12 * (n - 1)
+    assert (loo.query_id == loo.neighbor_id).sum() == 0
+    key = ["query_id", "neighbor_id"]
+    kept = ext[ext.query_id != ext.neighbor_id]
+    pd.testing.assert_frame_equal(
+        kept.sort_values(key)[key].reset_index(drop=True),
+        loo.sort_values(key)[key].reset_index(drop=True),
+    )
+
+    def rows(df):
+        return (
+            df.select("query_id", "neighbor_id", "rank")
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    # (2) with auto-broadcast off (as the optimizer would decide for a
+    # genuinely huge query set) both escape hatches must produce the
+    # same rows through a real shuffle join — no broadcast of any kind
+    bc_flat = rows(pq_adc_topk_df(codes, q_df, cb, k=5))
+    coded = pq_assign(
+        assign_clusters(vec, centers, id_col="vec_id"), cb
+    ).select("vec_id", "cluster", *[f"code_{m}" for m in range(M)])
+    bc_ivf = rows(ivfpq_topk_df(coded, q_df, centers, cb, k=5, nprobe=2))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # (2a) flat ADC: bucket-replicated shuffle join
+        shuf = pq_adc_topk_df(
+            codes, q_df, cb, k=5, broadcast_queries=False, n_corpus_buckets=8
+        )
+        pd.testing.assert_frame_equal(rows(shuf), bc_flat)
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan, plan
+        # (2b) IVFPQ: shuffle join on the cluster key
+        sj = ivfpq_topk_df(
+            coded, q_df, centers, cb, k=5, nprobe=2, broadcast_queries=False
+        )
+        pd.testing.assert_frame_equal(rows(sj), bc_ivf)
+        plan = sj._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
