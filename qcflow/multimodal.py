@@ -126,6 +126,64 @@ def image_features(df: DataFrame, resize_factor: int = 4) -> DataFrame:
     )
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def qimg_phash64(arr: np.ndarray) -> int:
+    """Block-mean perceptual hash: grayscale -> 8x8 mean-pooled grid ->
+    bit i set iff cell i > median. Returns a SIGNED int64 (Spark long).
+    Deterministic numpy-only math — the same kernel runs at fixture
+    build time (truth) and inside the executor UDF, so recovered hashes
+    are bit-identical (the streaming_q.py gating pattern). Robust to
+    small pixel jitter: a perturbation only flips a bit when it moves a
+    cell mean across the median."""
+    g = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    v = 0
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    med = float(np.median(cells))
+    for idx, c in enumerate(cells.ravel()):
+        if c > med:
+            v |= 1 << idx
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash_hamming(a: int, b: int) -> int:
+    """Hamming distance between two signed-int64 phashes (two's
+    complement popcount — equals Spark's bit_count(a ^ b))."""
+    return bin((a ^ b) & _MASK64).count("1")
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "img_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas decode -> 64-bit perceptual hash per image. Input
+    (id, payload binary); output (id, phash long). One Arrow crossing,
+    8-byte output rows — the scale shape for image near-dup (the banded
+    Hamming join downstream never touches the bytes again)."""
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": [
+                        qimg_phash64(qimg_decode(bytes(p)))
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, f"{id_col} long, phash long"
+    )
+
+
 def video_frame_sample(df: DataFrame, every: int = 2) -> DataFrame:
     """mapInPandas frame sampling: QVID payload -> one row per sampled
     frame (vid_id, frame_idx, frame QIMG payload). Input: (vid_id long,

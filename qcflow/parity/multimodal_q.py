@@ -187,3 +187,136 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_h",
         F.length("thumb").cast("int").alias("thumb_bytes"),
     )
+
+
+# ------------------------------------------------ image near-dup (pHash)
+#
+# Construction-truth fixture for perceptual-hash dedup: 200 base images;
+# the first 60 get a JITTERED copy (small uint8 noise, amplitude backed
+# off per-image until the block-mean phash stays within Hamming radius
+# 3 — last-resort amplitude 0 = exact copy, so the bound is guaranteed
+# deterministically). Truth columns (orig_id, copy_id, t_hamming) are
+# written at build time with the SAME qimg_phash64 kernel the executors
+# run, so Spark's recovered Hamming distances are bit-identical through
+# the bytes. Spark must find the pairs via decode -> phash -> 4x16-bit
+# banded join (pigeonhole: Hamming <= 3 guarantees a clean band) — the
+# oracle only projects the truth columns.
+
+N_PHASH = 200
+N_PHASH_COPIES = 60
+_PH_OFF = 100_000
+_PH_BANDS, _PH_BAND_BITS = 4, 16
+_PH_HAM_MAX = _PH_BANDS - 1  # pigeonhole radius for guaranteed recall
+_PFIX = os.path.join(_DIR, "phash_v1.parquet")
+
+
+def _materialize_phash() -> None:
+    if os.path.exists(_PFIX):
+        return
+    from qcflow.multimodal import phash_hamming, qimg_phash64
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_PHASH):
+        rng = np.random.default_rng([5077, 11, i])
+        w = int(rng.integers(16, 49))
+        h = int(rng.integers(16, 41))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "img_id": i,
+                "payload": qimg_encode(arr),
+                "orig_id": None,
+                "copy_id": None,
+                "t_hamming": None,
+            }
+        )
+        if i < N_PHASH_COPIES:
+            base = qimg_phash64(arr)
+            for amp in (12, 6, 3, 1, 0):
+                nrng = np.random.default_rng([5077, 12, i, amp])
+                noise = nrng.integers(-amp, amp + 1, arr.shape)
+                cp = np.clip(arr.astype(np.int64) + noise, 0, 255).astype(
+                    np.uint8
+                )
+                ham = phash_hamming(base, qimg_phash64(cp))
+                if ham <= _PH_HAM_MAX:
+                    break
+            rows.append(
+                {
+                    "img_id": i + _PH_OFF,
+                    "payload": qimg_encode(cp),
+                    "orig_id": i,
+                    "copy_id": i + _PH_OFF,
+                    "t_hamming": ham,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("orig_id", "copy_id", "t_hamming"):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf.to_parquet(_PFIX, index=False)
+
+
+_materialize_phash()
+
+
+@query(
+    "dedup_image_phash",
+    oracle=f"""
+    SELECT CAST(orig_id AS BIGINT) AS id_a,
+           CAST(copy_id AS BIGINT) AS id_b,
+           CAST(t_hamming AS INT) AS hamming
+    FROM '{_PFIX}'
+    WHERE copy_id IS NOT NULL AND t_hamming <= {_PH_HAM_MAX}
+    """,
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: decode -> block-mean
+    phash (one mapInPandas crossing, 8-byte rows out) -> 4x16-bit banded
+    self-join -> exact Hamming filter. Hamming <= 3 guarantees >= 1
+    clean band (pigeonhole), so banded recall is 1 within the radius and
+    the join never compares full hashes outside shared buckets — the
+    dedup_simhash_pairs banding machinery applied to the image modality.
+    Restricted to planted (orig, copy) pairs so the DuckDB oracle is a
+    pure truth-column projection while Spark recovers everything THROUGH
+    the bytes."""
+    from qcflow.multimodal import image_phash
+
+    _materialize_phash()
+    imgs = spark.read.parquet(_PFIX).select("img_id", "payload")
+    ph = image_phash(imgs)
+    bands = ph.select(
+        "img_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(phash >> {j * _PH_BAND_BITS})"
+                            f" & {(1 << _PH_BAND_BITS) - 1}"
+                        ).alias("bucket"),
+                    )
+                    for j in range(_PH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("img_id", "phash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.phash ^ b.phash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.img_id") == F.col("a.img_id") + _PH_OFF),
+        )
+        .select(
+            F.col("a.img_id").alias("id_a"),
+            F.col("b.img_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+        .dropDuplicates(["id_a", "id_b"])
+    )

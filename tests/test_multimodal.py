@@ -72,3 +72,39 @@ def test_video_frame_sample_spark(spark):
     assert sorted(out[out.vid_id == 1].frame_idx.tolist()) == [0, 2]
     f = mm.qimg_decode(bytes(out[out.vid_id == 0].frame.iloc[0]))
     assert f.shape == (6, 8, 3)
+
+
+def test_phash_deterministic_and_jitter_robust():
+    """Kernel invariants: identical arrays hash identically; small
+    jitter stays within a small Hamming radius far below random-pair
+    distance (~32 bits for independent 64-bit hashes)."""
+    rng = np.random.default_rng(99)
+    arr = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    h0 = mm.qimg_phash64(arr)
+    assert h0 == mm.qimg_phash64(arr.copy())
+    jit = np.clip(
+        arr.astype(np.int64) + rng.integers(-2, 3, arr.shape), 0, 255
+    ).astype(np.uint8)
+    assert mm.phash_hamming(h0, mm.qimg_phash64(jit)) <= 6
+    other = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    assert mm.phash_hamming(h0, mm.qimg_phash64(other)) >= 12
+
+
+def test_image_phash_spark_matches_kernel(spark):
+    """The mapInPandas path returns exactly the driver-side kernel's
+    hashes (bit-identical through Arrow), including sign handling for
+    hashes with bit 63 set."""
+    import pandas as pd
+
+    arrs = [mm.synth_image(i, 24, 20) for i in range(16)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "img_id": range(16),
+                "payload": [mm.qimg_encode(a) for a in arrs],
+            }
+        )
+    )
+    got = mm.image_phash(df).toPandas().set_index("img_id").phash
+    for i, a in enumerate(arrs):
+        assert int(got[i]) == mm.qimg_phash64(a)

@@ -354,3 +354,13 @@ def test_sequence_pack_one_shuffle_no_sort_exchange(spark):
     p = plan_of(QUERIES["x_sequence_pack"](spark, SF), "simple")
     assert "rangepartitioning" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_image_phash_band_join_is_hash_join(spark):
+    """The image near-dup banded self-join must pair rows via a HASH
+    join on (band, bucket) — never a nested-loop over all image pairs —
+    and the join input must carry hashes, not payload bytes."""
+    p = plan_of(QUERIES["dedup_image_phash"](spark, SF))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    join_on = p[p.index("Join") :][:400] if "Join" in p else p
+    assert "payload" not in join_on, join_on
