@@ -946,6 +946,43 @@ def pq_lut_l2(query_res: np.ndarray, codebooks: np.ndarray) -> list[list[float]]
     return lut
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    emb_col: str = "emb",
+    id_col: str = "vec_id",
+    residual: bool = True,
+) -> DataFrame:
+    """Encode vectors against a TRAINED index — assign + residual + PQ
+    codes, NO (re)training: the incremental-maintenance path. One
+    codegen'd projection chain (cluster pick, zip_with residual, PQ
+    assignment), no shuffle, no Python; new snapshots append through
+    this with the centroids/codebooks frozen. Output
+    (id, cluster, code_0..code_{M-1}) — the stored index layout.
+    ``residual=False`` encodes the absolute vector (plain IVF+PQ)."""
+    M = codebooks.shape[0]
+    assigned = assign_clusters(df, centroids, emb_col=emb_col, id_col=id_col)
+    if residual:
+        centers_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        assigned = assigned.withColumn(
+            "_res",
+            F.zip_with(
+                F.col(emb_col),
+                F.element_at(centers_lit, F.col("cluster")),
+                lambda x, c: x - c,
+            ),
+        )
+        code_src = "_res"
+    else:
+        code_src = emb_col
+    return pq_assign(assigned, codebooks, emb_col=code_src, id_col=id_col).select(
+        id_col, "cluster", *[f"code_{m}" for m in range(M)]
+    )
+
+
 def ivfpq_residual_topk_df(
     coded: DataFrame,
     queries_df: DataFrame,
@@ -1044,20 +1081,8 @@ def ivfpq_residual_topk(
     if not queries:
         raise ValueError("ivfpq_residual_topk: queries must be non-empty")
     M = codebooks.shape[0]
-    centers_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    assigned = assign_clusters(corpus, centroids, emb_col=emb_col, id_col=id_col)
-    res = assigned.withColumn(
-        "_res",
-        F.zip_with(
-            F.col(emb_col),
-            F.element_at(centers_lit, F.col("cluster")),
-            lambda x, c: x - c,
-        ),
-    )
-    coded = pq_assign(res, codebooks, emb_col="_res", id_col=id_col).select(
-        id_col, "cluster", *[f"code_{m}" for m in range(M)]
+    coded = ivfpq_encode(
+        corpus, centroids, codebooks, emb_col=emb_col, id_col=id_col
     )
     if not inline:
         return ivfpq_residual_topk_df(

@@ -1201,3 +1201,165 @@ def ann_ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec, queries, cents, cbs, k=TOP_K, nprobe=_IP_NPROBE
     )
     return out.select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------- incremental index maintenance
+#
+# Construction truth for the embedding-store lifecycle (qcflow/
+# index_store.py): vectors are planted EXACTLY at centroid[c] +
+# residual-codebook reconstruction of planted codes — zero noise, so
+# cluster assignment and residual PQ codes are provably recovered
+# (distance 0 to the planted codeword vs a positive asserted margin to
+# every other; coarse separation dwarfs the reconstruction norm). Three
+# batches: 0 committed, then a CRASHED append (id burned, no commit),
+# then batch 1 committed with a deliberately skewed list distribution.
+# The gates check (a) the committed view = batches 0+1 with the exact
+# planted (cluster, codes, snapshot_id) — crashed rows invisible, the
+# burned id visible in batch 1's snapshot_id=2 — and (b) the per-list
+# drift metric between the two commits. DuckDB reads truth columns only.
+
+_IX_NCL = 8
+_IX_N0, _IX_N1, _IX_NCRASH = 400, 300, 100
+_IX_FIX = os.path.join(_PQ_DIR, "index_store_v1.parquet")
+
+
+def _ix_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(6151)
+    centers = np.round(
+        rng.normal(0.0, 1.0, (_IX_NCL, _PQ_M * _PQ_DSUB)) * 60.0, 6
+    )
+    cbs = np.round(rng.normal(0.0, 1.0, (_PQ_M, _PQ_KS, _PQ_DSUB)), 6)
+    return centers, cbs
+
+
+def _materialize_index_fixture() -> None:
+    if os.path.exists(_IX_FIX):
+        return
+    import pandas as pd
+
+    os.makedirs(_PQ_DIR, exist_ok=True)
+    centers, cbs = _ix_params()
+    # provability: distinct codewords per subspace, and coarse
+    # separation > 2x the largest possible reconstruction norm
+    for m in range(_PQ_M):
+        d2 = (
+            ((cbs[m][:, None, :] - cbs[m][None, :, :]) ** 2).sum(-1)
+            + np.eye(_PQ_KS) * 1e9
+        )
+        assert float(d2.min()) > 1e-3, m
+    cd2 = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    min_sep = float(np.sqrt((cd2 + np.eye(_IX_NCL) * 1e18).min()))
+    max_recon = float(
+        np.sqrt((np.abs(cbs).max(axis=1) ** 2).sum()) * np.sqrt(_PQ_M)
+    ) * 4  # loose bound on |recon|
+    assert max_recon < min_sep / 2, (max_recon, min_sep)
+
+    rng = np.random.default_rng(6152)
+    rows = []
+    n_total = _IX_N0 + _IX_NCRASH + _IX_N1
+    for vid in range(n_total):
+        if vid < _IX_N0:
+            batch, cl = 0, vid % _IX_NCL
+        elif vid < _IX_N0 + _IX_NCRASH:
+            batch, cl = 2, vid % _IX_NCL  # crashed batch
+        else:
+            batch, cl = 1, vid % 4  # skewed: only lists 1..4 grow
+        codes = rng.integers(0, _PQ_KS, _PQ_M)
+        emb = centers[cl].copy()
+        for m in range(_PQ_M):
+            emb[m * _PQ_DSUB : (m + 1) * _PQ_DSUB] += cbs[m][codes[m]]
+        rows.append(
+            {
+                "vec_id": vid,
+                "emb": emb.tolist(),
+                "batch": batch,
+                "true_cluster": cl + 1,
+                **{
+                    f"true_code_{m}": int(codes[m]) for m in range(_PQ_M)
+                },
+            }
+        )
+    pd.DataFrame(rows).to_parquet(_IX_FIX, index=False)
+
+
+def _build_index_store(spark: SparkSession) -> tuple[str, int, int]:
+    """Replay the lifecycle into a fresh store dir: init (frozen planted
+    params) -> append batch 0 -> CRASH mid-append of the poison batch ->
+    append batch 1. Returns (dir, sid0, sid1)."""
+    import shutil
+    import tempfile
+
+    from qcflow import index_store as ix
+
+    _materialize_index_fixture()
+    d = os.path.join(tempfile.gettempdir(), "qcflow_ix_store")
+    shutil.rmtree(d, ignore_errors=True)
+    centers, cbs = _ix_params()
+    ix.init_index(d, centers, cbs)
+    vec = spark.read.parquet(_IX_FIX).select("vec_id", "emb", "batch")
+    sid0 = ix.append_vectors(
+        spark, d, vec.filter("batch = 0").drop("batch")
+    )
+    ix.append_vectors(
+        spark, d, vec.filter("batch = 2").drop("batch"),
+        _crash_before_commit=True,
+    )
+    sid1 = ix.append_vectors(
+        spark, d, vec.filter("batch = 1").drop("batch")
+    )
+    return d, sid0, sid1
+
+
+@query(
+    "ann_index_incremental",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(true_cluster AS INT) AS cluster,
+           {", ".join(f"CAST(true_code_{m} AS INT) AS code_{m}" for m in range(_PQ_M))},
+           CAST(CASE WHEN batch = 0 THEN 0 ELSE 2 END AS BIGINT) AS snapshot_id
+    FROM '{_IX_FIX}'
+    WHERE batch IN (0, 1)
+    """,
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVFPQ maintenance, hash-gated end to end: new batches
+    are appended to a frozen trained index via assign+encode only
+    (ann.ivfpq_encode — no retrain), under the snapshot manifest of
+    qcflow/index_store.py. The committed read must recover EXACTLY the
+    planted (cluster, codes) of the two committed batches THROUGH the
+    store: the crashed append's rows are invisible, and its burned
+    snapshot id surfaces as batch 1 committing at id 2 — both gated by
+    the snapshot_id column."""
+    from qcflow.index_store import read_index
+
+    d, _, _ = _build_index_store(spark)
+    return read_index(spark, d).select(
+        "vec_id",
+        "cluster",
+        *[f"code_{m}" for m in range(_PQ_M)],
+        "snapshot_id",
+    )
+
+
+@query(
+    "ann_index_drift",
+    oracle=f"""
+    SELECT CAST(true_cluster AS INT) AS cluster,
+           CAST(COUNT(*) FILTER (WHERE batch = 0) AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(COUNT(*) FILTER (WHERE batch = 1) AS BIGINT) AS delta
+    FROM '{_IX_FIX}'
+    WHERE batch IN (0, 1)
+    GROUP BY true_cluster
+    """,
+)
+def ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-list occupancy drift between the two committed snapshots —
+    the retrain-trigger metric: batch 1 deliberately lands only in lists
+    1..4, so their deltas are positive and lists 5..8 stay flat. One
+    scan with conditional sums (index_store.list_drift); the crashed
+    batch must not count anywhere."""
+    from qcflow.index_store import list_drift
+
+    d, sid0, sid1 = _build_index_store(spark)
+    return list_drift(spark, d, sid0, sid1)
