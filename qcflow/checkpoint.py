@@ -52,9 +52,6 @@ from qcflow.rules import (
 )
 from qcflow.scrub import scrub
 from qcflow.summary import (
-    cube_lineage,
-    metrics_grains,
-    metrics_partials,
     quantile_metrics,
 )
 from qcflow.features import clip_features, pcm_consistency
@@ -272,6 +269,122 @@ def read_as_of(
 
 # ---------------------------------------------------------- write attempt
 
+def _pa_schema(spec: list[tuple[str, str]]):
+    import pyarrow as pa
+
+    m = {"long": pa.int64(), "int": pa.int32(), "string": pa.string()}
+    return pa.schema([(n, m[t]) for n, t in spec])
+
+
+# must match the Spark-written layout exactly (vacuum compaction and
+# legacy increments write these same tables through Spark — mixed files
+# in one directory have to merge)
+_PARTIALS_SPEC = [
+    ("snapshot_id", "long"), ("kind", "string"), ("bucket", "int"),
+    ("lang", "string"), ("drop_reason", "string"), ("bin", "int"),
+    ("n", "long"),
+]
+_LINEAGE_SPEC = [
+    ("snapshot_id", "long"), ("kind", "string"), ("bucket", "int"),
+    ("n_input", "long"), ("n_kept", "long"), ("n_dropped", "long"),
+]
+
+
+def _PARTIALS_PA_SCHEMA():
+    return _pa_schema(_PARTIALS_SPEC)
+
+
+def _LINEAGE_PA_SCHEMA():
+    return _pa_schema(_LINEAGE_SPEC)
+
+
+def _append_parquet_file(dir_path: str, pdf, schema_fn, name: str) -> None:
+    """Driver-side append of one file into a Spark-readable parquet
+    directory: write to a SIBLING temp path, then atomically rename into
+    the directory — a crash mid-write never leaves a half file where a
+    reader could list it (stronger than Spark's own job-commit, and no
+    cluster roundtrip for dimension-sized bookkeeping data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    schema = schema_fn()
+    table = pa.Table.from_pandas(
+        pdf[[f.name for f in schema]], schema=schema, preserve_index=False
+    )
+    tmp = f"{dir_path}.__tmp-{name}"
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, os.path.join(dir_path, f"part-{name}.parquet"))
+
+
+def _split_grains_pandas(gpdf, snapshot_id: int):
+    """Driver-side twin of summary.metrics_grains + metrics_partials +
+    cube_lineage over the COLLECTED grouping-sets frame: the cube grain
+    (gid=1) yields drop-reason counts, the confidence histogram and the
+    per-bucket lineage counts; the ppl grain (gid=6) is the quantile
+    sketch. Pure integer-count arithmetic — identical rows to the Spark
+    versions (pandas groupbys use dropna=False to mirror SQL null-key
+    grouping). Returns (long-form partials DataFrame, {bucket:
+    (n_input, n_kept, n_dropped)})."""
+    import numpy as np
+    import pandas as pd
+
+    cube = gpdf[gpdf["_gid"] == 1]
+    ppl = gpdf[gpdf["_gid"] == 6]
+
+    dr_src = cube[cube["drop_reasons"] != ""][["bucket", "lang", "drop_reasons", "n"]]
+    if len(dr_src):
+        dr = dr_src.assign(
+            drop_reason=dr_src["drop_reasons"].str.split(",")
+        ).explode("drop_reason")
+        dr = (
+            dr.groupby(["bucket", "lang", "drop_reason"], dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+    else:
+        dr = pd.DataFrame(columns=["bucket", "lang", "drop_reason", "n"])
+    dr["kind"] = "drop_reasons"
+    dr["bin"] = pd.array([None] * len(dr), dtype="Int32")
+
+    cf = (
+        cube.groupby(["bucket", "lang", "conf_bin"], dropna=False)["n"]
+        .sum()
+        .reset_index()
+        .rename(columns={"conf_bin": "bin"})
+    )
+    cf["kind"] = "lang_conf"
+    cf["drop_reason"] = None
+
+    pp = ppl[["bucket", "lang", "ppl_bin", "n"]].rename(
+        columns={"ppl_bin": "bin"}
+    )
+    pp = pp.assign(kind="ppl_hist", drop_reason=None)
+
+    cols = ["kind", "bucket", "lang", "drop_reason", "bin", "n"]
+    partials = pd.concat(
+        [d[cols] for d in (dr, cf, pp) if len(d)], ignore_index=True
+    ) if (len(dr) + len(cf) + len(pp)) else pd.DataFrame(columns=cols)
+    if len(partials):
+        partials.insert(0, "snapshot_id", np.int64(snapshot_id))
+        partials["bucket"] = partials["bucket"].astype("int32")
+        partials["bin"] = partials["bin"].astype("Int32")
+        partials["n"] = partials["n"].astype("int64")
+
+    lin = (
+        cube.groupby("bucket", dropna=False)
+        .agg(n_input=("n", "sum"), n_kept=("n_kept", "sum"))
+        .reset_index()
+    )
+    by_bucket = {
+        int(r.bucket): (
+            int(r.n_input), int(r.n_kept), int(r.n_input - r.n_kept)
+        )
+        for r in lin.itertuples()
+    }
+    return partials, by_bucket
+
+
 def _write_attempt(
     scored: DataFrame,
     out_dir: str,
@@ -286,15 +399,17 @@ def _write_attempt(
     it produced zero rows, so sparse inputs still mark buckets complete
     and resume stays a no-op. Returns the committed lineage rows.
 
-    Fixed-cost shape (the r4 resumable-increment fix — this path runs
-    once per increment, so job count matters as much as row count):
-    ONE bucket shuffle staged+persisted feeds BOTH table writes (they
-    were two separate shuffles); the three metric partial grains land as
-    ONE long-form append (summary.metrics_partials) instead of three
-    serial dimension-sized jobs; and the lineage commit is a driver-side
-    collect of the (bucket-count-sized) cube_lineage frame written as a
-    local relation — the collect IS the compute-before-commit, replacing
-    an eager localCheckpoint job + a distributed write."""
+    Fixed-cost shape (r4 + r5 resumable-increment fixes — this path runs
+    once per increment, so job count matters as much as row count): the
+    increment runs exactly THREE Spark jobs — kept write, dropped write,
+    and ONE collect of the grouping-sets grains frame (both metric
+    grains + lineage counts in one shuffle, dimension-sized) — all
+    submitted concurrently when stage-backed. Partials and the lineage
+    commit are then split in pandas and written DRIVER-SIDE via pyarrow
+    (atomic rename into the table directories): the former
+    localCheckpoint job + coalesced partials write + lineage
+    local-relation write were ~1.4 s of each increment's ~2.4 s at
+    bench scale, 3x the actual data writes."""
     import pandas as pd
 
     spark = scored.sparkSession
@@ -317,66 +432,112 @@ def _write_attempt(
     # The kept write materializes the staged cache; everything after it
     # is latency-bound reads of that cache (or of the checkpointed
     # metrics grains), so the remaining jobs run from a thread pool.
-    kept.write.mode("append").partitionBy("bucket").parquet(
-        f"{out_dir}/kept.parquet"
-    )
     # metric partials, keyed by (snapshot_id, bucket) so a later bucket
     # replace invalidates exactly the right slice on read; all partials
-    # and the lineage rows derive from ONE grouping-sets aggregate over
-    # the staged frame (both grains, one shuffle). The perplexity grain
-    # is the fixed log-edge quantile sketch — sum-mergeable, so per-lang
-    # p50/p99 never rescan history OR buffer a hot language's raw values
-    # on one reducer (the exact-percentile skew anti-pattern,
-    # BENCH/BASELINE.md 5.6x lesson).
-    cube, ppl_hist = metrics_grains(staged)
+    # AND the lineage counts derive from ONE grouping-sets aggregate over
+    # the staged frame (both grains, one shuffle) — which is
+    # dimension-sized, so it is COLLECTED and split driver-side, and the
+    # partials + lineage land as pyarrow-written files (no Spark jobs):
+    # the r5 fixed-cost fix — the checkpoint job + coalesced partials
+    # write were ~1.4 s of each increment, 3x the data writes. The
+    # perplexity grain is the fixed log-edge quantile sketch —
+    # sum-mergeable, so per-lang p50/p99 never rescan history OR buffer
+    # a hot language's raw values on one reducer (the exact-percentile
+    # skew anti-pattern, BENCH/BASELINE.md 5.6x lesson).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        futs = [
-            ex.submit(
-                lambda: dropped.write.mode("append")
-                .partitionBy("bucket")
-                .parquet(f"{out_dir}/dropped.parquet")
-            ),
-            ex.submit(
-                lambda: metrics_partials(cube, ppl_hist)
-                .select(snap, "kind", "bucket", "lang", "drop_reason", "bin", "n")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(f"{out_dir}/metrics_partials.parquet")
-            ),
-            ex.submit(lambda: cube_lineage(cube).collect()),
-        ]
-        _, _, lin_rows = [f.result() for f in futs]
-    if not stage_backed:
+    from qcflow.summary import grains_frame
+
+    def _kept_write():
+        kept.write.mode("append").partitionBy("bucket").parquet(
+            f"{out_dir}/kept.parquet"
+        )
+
+    def _dropped_write():
+        dropped.write.mode("append").partitionBy("bucket").parquet(
+            f"{out_dir}/dropped.parquet"
+        )
+
+    def _grains_collect():
+        return grains_frame(staged).toPandas()
+
+    if stage_backed:
+        # three independent recomputes of the pruned narrow scan — all
+        # submitted at once (no cache to race on)
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [
+                ex.submit(_kept_write),
+                ex.submit(_dropped_write),
+                ex.submit(_grains_collect),
+            ]
+            _, _, gpdf = [f.result() for f in futs]
+    else:
+        # the kept write materializes the persisted cache first; the
+        # remaining actions read it
+        _kept_write()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_dropped_write), ex.submit(_grains_collect)]
+            _, gpdf = [f.result() for f in futs]
         staged.unpersist()
 
-    by_bucket = {
-        int(r["bucket"]): (int(r["n_input"]), int(r["n_kept"]), int(r["n_dropped"]))
-        for r in lin_rows  # computed BEFORE the commit (pool above)
-    }
+    partials, by_bucket = _split_grains_pandas(gpdf, snapshot_id)
+    if len(partials):
+        _append_parquet_file(
+            f"{out_dir}/metrics_partials.parquet",
+            partials,
+            _PARTIALS_PA_SCHEMA,
+            f"snap{snapshot_id:010d}",
+        )
     buckets = sorted(
         set(by_bucket) | {int(b) for b in (all_buckets or [])}
     )
     rows = [
         (snapshot_id, kind, b, *by_bucket.get(b, (0, 0, 0))) for b in buckets
     ]
-    lin = spark.createDataFrame(
-        pd.DataFrame(
-            rows,
-            columns=[
-                "snapshot_id", "kind", "bucket", "n_input", "n_kept", "n_dropped",
-            ],
-        ),
+    lin_pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "snapshot_id", "kind", "bucket", "n_input", "n_kept", "n_dropped",
+        ],
+    )
+    _append_parquet_file(  # COMMIT (atomic rename into the dir, last)
+        f"{out_dir}/lineage.parquet",
+        lin_pdf,
+        _LINEAGE_PA_SCHEMA,
+        f"snap{snapshot_id:010d}",
+    )
+    return spark.createDataFrame(
+        lin_pdf,
         "snapshot_id long, kind string, bucket int, "
         "n_input long, n_kept long, n_dropped long",
     )
-    lin.write.mode("append").parquet(f"{out_dir}/lineage.parquet")  # COMMIT
-    return lin
 
 
 def _stage_path(out_dir: str) -> str:
     return f"{out_dir}/scores_stage.parquet"
+
+
+# analyzed-DataFrame cache for the staging table: each read.parquet call
+# pays a footer + partition-discovery roundtrip (~0.2-0.3 s of every
+# increment at bench scale), and the staged table is immutable during a
+# resumable load. The two writers (_stage_scores, merge_replace_buckets)
+# invalidate explicitly.
+_STAGE_READ_CACHE: dict = {}
+
+
+def _read_stage_cached(spark: SparkSession, out_dir: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(out_dir))
+    df = _STAGE_READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(_stage_path(out_dir))
+        _STAGE_READ_CACHE[key] = df
+    return df
+
+
+def _invalidate_stage_cache(out_dir: str) -> None:
+    ap = os.path.abspath(out_dir)
+    for k in [k for k in _STAGE_READ_CACHE if k[1] == ap]:
+        del _STAGE_READ_CACHE[k]
 
 
 def _stage_scores(
@@ -398,12 +559,13 @@ def _stage_scores(
         .partitionBy("bucket")
         .parquet(_stage_path(out_dir))
     )
+    _invalidate_stage_cache(out_dir)
     return spark.read.parquet(_stage_path(out_dir))
 
 
 def _scored_from_stage(
     staged: DataFrame,
-    clips: DataFrame,
+    clips: DataFrame | None,  # only read when a byte-derived check is on
     thr: Thresholds,
     n_buckets: int,
     buckets: list[int],
@@ -463,7 +625,17 @@ def run_resumable(
     duration of a resumable load (same contract as the manifest's
     bucket hashing); corrections go through merge_replace_buckets,
     which refreshes the staged rows it replaces."""
-    clips = spark.read.parquet(clips_path)
+    # the clips frame is only analyzed when a path actually needs the
+    # bytes (first-attempt staging, byte-derived checks, legacy
+    # fallback): a parquet read costs a footer/listing roundtrip that a
+    # stage-backed increment should not pay
+    clips = None
+
+    def _clips() -> DataFrame:
+        nonlocal clips
+        if clips is None:
+            clips = spark.read.parquet(clips_path)
+        return clips
 
     thr = load_thresholds(out_dir)
     if thr is None:
@@ -472,7 +644,7 @@ def run_resumable(
         # scores land in the staging table (one UDF pass, one narrow write)
         # and thresholds derive from the staged READ, so a crash between
         # the two just re-stages on the next attempt.
-        staged = _stage_scores(clips, out_dir, n_buckets)
+        staged = _stage_scores(_clips(), out_dir, n_buckets)
         thr = derive_thresholds(staged, exact=exact_thresholds)
         save_thresholds(thr, out_dir)
 
@@ -484,9 +656,15 @@ def run_resumable(
         return {"processed_buckets": 0, "remaining": 0}
 
     if _has_parquet(_stage_path(out_dir)):
-        staged = spark.read.parquet(_stage_path(out_dir))
+        staged = _read_stage_cached(spark, out_dir)
         scored = _scored_from_stage(
-            staged, clips, thr, n_buckets, todo, check_pcm, check_acoustics
+            staged,
+            _clips() if (check_pcm or check_acoustics) else None,
+            thr,
+            n_buckets,
+            todo,
+            check_pcm,
+            check_acoustics,
         )
         snap = next_snapshot_id(spark, out_dir)
         # stage_backed (shuffle/persist-free) only when the plan is pure
@@ -503,7 +681,7 @@ def run_resumable(
     else:
         # legacy out_dir (thresholds saved by a pre-stage version, no
         # staged scores): fall back to re-scoring the subset
-        subset = clips.withColumn("bucket", bucket_col(n_buckets)).filter(
+        subset = _clips().withColumn("bucket", bucket_col(n_buckets)).filter(
             F.col("bucket").isin(todo)
         ).drop("bucket")
         res = score_clips(
@@ -621,32 +799,181 @@ def read_quantile_metrics(
     )
 
 
+def _partials_pandas(out_dir: str, which: str):
+    """Driver-side twin of _partials_frames: the unified and legacy
+    partials tables are (dimension x attempts)-sized, so pyarrow reads
+    replace Spark scans. Returns a pandas frame (snapshot_id, bucket,
+    lang, <dim>, n) or None."""
+    import pandas as pd
+
+    dim, key, _ = _PARTIAL_VIEWS[which]
+    frames = []
+    uni = f"{out_dir}/metrics_partials.parquet"
+    if _has_parquet(uni):
+        p = pd.read_parquet(uni)
+        p = p[p["kind"] == which]
+        frames.append(
+            p[["snapshot_id", "bucket", "lang", key, "n"]].rename(
+                columns={key: dim}
+            )
+        )
+    legacy = f"{out_dir}/{_LEGACY_PARTIALS[which]}.parquet"
+    if _has_parquet(legacy):
+        frames.append(
+            pd.read_parquet(legacy)[
+                ["snapshot_id", "bucket", "lang", dim, "n"]
+            ]
+        )
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
+def _hist_quantile_pandas(hist, bin_col: str, pcts: list[int]):
+    """Pandas twin of summary.hist_quantiles for one dims=['lang']
+    grouping: per lang, the smallest bin whose cumulative count reaches
+    ceil(pct * total / 100) — the identical integer-target arithmetic,
+    so the driver-side finalize emits the same bins as the Spark
+    reader (read_quantile_metrics)."""
+    out = {}
+    h = hist[hist[bin_col].notna()]
+    for lang, g in h.groupby("lang", dropna=False):
+        g = g.sort_values(bin_col)
+        cum = g["n"].cumsum()
+        total = int(g["n"].sum())
+        row = {}
+        for p in pcts:
+            target = (total * p + 99) // 100
+            row[f"p{p}_bin"] = int(g[bin_col][cum >= target].iloc[0])
+        out[lang] = row
+    return out
+
+
+def _write_table_dir(path: str, pdf, spec: list[tuple[str, str]]) -> None:
+    """Overwrite a dimension-sized metrics table driver-side: one
+    pyarrow file in a fresh directory, swapped in atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = {
+        "long": pa.int64(), "int": pa.int32(),
+        "string": pa.string(), "double": pa.float64(),
+    }
+    schema = pa.schema([(n, m[t]) for n, t in spec])
+    tmp = path + ".finalize"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.Table.from_pandas(
+            pdf[[n for n, _ in spec]], schema=schema, preserve_index=False
+        ),
+        os.path.join(tmp, "part-00000.parquet"),
+        compression="snappy",
+    )
+    if os.path.exists(path):
+        _swap_in(tmp, path)
+    else:
+        os.rename(tmp, path)
+
+
 def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
     """Materialize the merged metrics side tables (same schemas as
-    pipeline.write_outputs). Cost is O(partials), not O(history): one
-    shared (localCheckpoint'ed) manifest view feeds all three reads, and
-    the dimension-sized writes are submitted from a thread pool (the
-    same latency-hiding that took write_outputs 16 s -> 4.6 s in r3)."""
-    vp = _valid_pairs_local(spark, out_dir)
-    writes = [
-        lambda: read_metrics(spark, out_dir, "drop_reasons", vp=vp)
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/metrics_drop_reasons.parquet"),
-        lambda: read_metrics(spark, out_dir, "lang_conf", vp=vp)
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
-    ]
-    if _partials_frames(spark, out_dir, "ppl_hist"):
-        writes.append(
-            lambda: read_quantile_metrics(spark, out_dir, vp=vp)
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/metrics_quantiles.parquet")
-        )
-    from concurrent.futures import ThreadPoolExecutor
+    pipeline.write_outputs) ENTIRELY driver-side: partials and the
+    manifest are (dimension x attempts)-sized, so the committed filter,
+    the per-lang merges and the histogram-quantile walk all run in
+    pandas (same integer-target arithmetic as summary.hist_quantiles)
+    and the three tables land as pyarrow writes — zero Spark jobs (the
+    r5 fixed-cost fix: the previous three pooled read+write jobs were
+    ~2 s of the last increment at bench scale). Spark readers see the
+    identical tables; read_metrics/read_quantile_metrics remain the
+    distributed path for ad-hoc reads."""
+    import numpy as np
+    import pandas as pd
 
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        for fut in [ex.submit(w) for w in writes]:
-            fut.result()
+    from qcflow.summary import CONF_BINS, PPL_BINS_PER_OCTAVE
+
+    lin = _lineage_pandas(out_dir)
+    if lin is None or not len(lin):
+        live = None
+    else:
+        rep = lin[lin["kind"] == "replace"].groupby("bucket")["snapshot_id"].max()
+        cut = lin["bucket"].map(rep)
+        live = lin[cut.isna() | (lin["snapshot_id"] >= cut)][
+            ["snapshot_id", "bucket"]
+        ].drop_duplicates()
+
+    def committed(p):
+        if p is None or live is None:
+            return p
+        return p.merge(live, on=["snapshot_id", "bucket"])
+
+    dr = committed(_partials_pandas(out_dir, "drop_reasons"))
+    if dr is not None:
+        out = (
+            dr.groupby(["lang", "drop_reason"], dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        _write_table_dir(
+            f"{out_dir}/metrics_drop_reasons.parquet",
+            out,
+            [("lang", "string"), ("drop_reason", "string"), ("n", "long")],
+        )
+    cf = committed(_partials_pandas(out_dir, "lang_conf"))
+    if cf is not None:
+        out = (
+            cf.groupby(["lang", "conf_bin"], dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["conf_bin"] = out["conf_bin"].astype("Int32")
+        out["n"] = out["n"].astype("int64")
+        _write_table_dir(
+            f"{out_dir}/metrics_lang_conf.parquet",
+            out,
+            [("lang", "string"), ("conf_bin", "int"), ("n", "long")],
+        )
+    pp = committed(_partials_pandas(out_dir, "ppl_hist"))
+    if pp is not None:
+        ppl_h = (
+            pp.groupby(["lang", "ppl_bin"], dropna=False)["n"].sum().reset_index()
+        )
+        ppl_q = _hist_quantile_pandas(ppl_h, "ppl_bin", [50, 99])
+        conf_h = (
+            cf.groupby(["lang", "conf_bin"], dropna=False)["n"].sum().reset_index()
+            if cf is not None
+            else pd.DataFrame(columns=["lang", "conf_bin", "n"])
+        )
+        conf_q = _hist_quantile_pandas(conf_h, "conf_bin", [50, 99])
+        langs = sorted(set(ppl_q) | set(conf_q))
+        rows = []
+        for lang in langs:
+            pq_, cq = ppl_q.get(lang), conf_q.get(lang)
+            rows.append(
+                {
+                    "lang": lang,
+                    "ppl_p50": float(
+                        np.power(2.0, (pq_["p50_bin"] + 1) / PPL_BINS_PER_OCTAVE)
+                    ) if pq_ else None,
+                    "ppl_p99": float(
+                        np.power(2.0, (pq_["p99_bin"] + 1) / PPL_BINS_PER_OCTAVE)
+                    ) if pq_ else None,
+                    "conf_p50": (cq["p50_bin"] + 1) / CONF_BINS if cq else None,
+                    "conf_p99": (cq["p99_bin"] + 1) / CONF_BINS if cq else None,
+                }
+            )
+        _write_table_dir(
+            f"{out_dir}/metrics_quantiles.parquet",
+            pd.DataFrame(rows),
+            [
+                ("lang", "string"), ("ppl_p50", "double"),
+                ("ppl_p99", "double"), ("conf_p50", "double"),
+                ("conf_p99", "double"),
+            ],
+        )
 
 
 # --------------------------------------------------------------- increment
@@ -751,6 +1078,7 @@ def merge_replace_buckets(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _invalidate_stage_cache(out_dir)  # cached reads now stale
         staged = spark.read.parquet(_stage_path(out_dir))
         scored = _scored_from_stage(
             staged, clips, thr, n_buckets, bks, False, False

@@ -71,18 +71,14 @@ def conf_bin_col(n_bins: int = CONF_BINS) -> Column:
     )
 
 
-def metrics_grains(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Both metrics grains — the cube (bucket, lang, conf_bin,
-    drop_reasons) and the perplexity sketch histogram (bucket, lang,
-    ppl_bin) — from ONE grouping-sets aggregation, so the scored frame
-    is scanned and shuffled once for metrics instead of once per grain
-    (at 10^12 rows the second full pass is the cost that matters;
-    measured ~1.1 s of the bench write path at sf0.1).
-
-    Returns (cube, ppl_hist) as two filters over a single
-    localCheckpoint'ed frame; the grouping-set id (bit per grouping
-    column, 1 = NOT grouped in this set) picks the grain."""
-    g = (
+def grains_frame(scored: DataFrame) -> DataFrame:
+    """The single grouping-sets aggregate both metric grains derive
+    from, WITHOUT materialization — callers either localCheckpoint it
+    (``metrics_grains``, for further distributed work) or collect it
+    (the resumable write path: the frame is dimension-sized, so one
+    driver collect replaces a checkpoint job + a write job + a collect
+    job). gid bit = 1 means NOT grouped in that set."""
+    return (
         scored.select(
             "bucket",
             "lang",
@@ -107,8 +103,21 @@ def metrics_grains(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.grouping_id().alias("_gid"),
         )
-        .localCheckpoint(eager=True)
     )
+
+
+def metrics_grains(scored: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both metrics grains — the cube (bucket, lang, conf_bin,
+    drop_reasons) and the perplexity sketch histogram (bucket, lang,
+    ppl_bin) — from ONE grouping-sets aggregation, so the scored frame
+    is scanned and shuffled once for metrics instead of once per grain
+    (at 10^12 rows the second full pass is the cost that matters;
+    measured ~1.1 s of the bench write path at sf0.1).
+
+    Returns (cube, ppl_hist) as two filters over a single
+    localCheckpoint'ed frame; the grouping-set id (bit per grouping
+    column, 1 = NOT grouped in this set) picks the grain."""
+    g = grains_frame(scored).localCheckpoint(eager=True)
     cube = g.filter(F.col("_gid") == 1).select(  # ppl_bin bit only
         "bucket", "lang", "conf_bin", "drop_reasons", "n", "n_kept"
     )

@@ -79,15 +79,24 @@ def test_resume_matches_oneshot(spark, out_dirs):
     assert lin.n_input.sum() == 2000
     assert (lin.n_kept + lin.n_dropped == lin.n_input).all()
 
-    # metrics side tables were finalized and equal the one-shot's
+    # metrics side tables were finalized and equal the one-shot's — all
+    # THREE tables, since finalize_metrics computes them driver-side
+    # (pandas twins of the Spark aggregations must stay row-identical)
     hist = spark.read.parquet(f"{resumed}/metrics_drop_reasons.parquet").toPandas()
     assert hist.n.sum() > 0
-    ref = spark.read.parquet(f"{oneshot}/metrics_drop_reasons.parquet").toPandas()
-    key = ["lang", "drop_reason"]
-    pd.testing.assert_frame_equal(
-        hist.sort_values(key).reset_index(drop=True)[key + ["n"]],
-        ref.sort_values(key).reset_index(drop=True)[key + ["n"]],
-    )
+    for table, key in [
+        ("metrics_drop_reasons", ["lang", "drop_reason"]),
+        ("metrics_lang_conf", ["lang", "conf_bin"]),
+        ("metrics_quantiles", ["lang"]),
+    ]:
+        a = spark.read.parquet(f"{resumed}/{table}.parquet").toPandas()
+        b = spark.read.parquet(f"{oneshot}/{table}.parquet").toPandas()
+        cols = key + [c for c in sorted(b.columns) if c not in key]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True)[cols],
+            b.sort_values(key).reset_index(drop=True)[cols],
+            check_dtype=False,
+        )
 
 
 def test_crashed_attempt_rows_are_invisible(spark, tmp_path, clips_ready):
