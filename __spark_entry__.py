@@ -35,17 +35,20 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # attestation. r5 swaps IN the 22 never-attested rows — the 17 the r4
 # verdict listed (functions/sources families, x_asof/sessionize/lag_lead/
 # rollup/grouping_sets/ecdf_aggregated/ts_band_join, text_decontaminate,
-# x_domain_mix) plus the 5 new r5 gates (x_epoch_shuffle,
-# x_sequence_pack, dedup_image_phash, ann_index_incremental,
-# ann_index_drift) — and keeps 28 rows: flagships, every path whose code
-# changed this round (the batch-ANN search family), and one
-# representative per remaining family. After this rotation every
-# registry name has appeared in >=1 CORRECTNESS_r*.json; the rotated-out
+# x_domain_mix) plus the 6 new r5 gates (x_epoch_shuffle,
+# x_sequence_pack, dedup_image_phash, dedup_audio_fp,
+# ann_index_incremental, ann_index_drift) — and keeps 27 rows:
+# flagships, every path whose code changed this round (the batch-ANN
+# search family), and one representative per remaining family
+# (s2_scan_filter_pushdown rotated out to make room, r4-attested,
+# unchanged). After this rotation every registry name has appeared in
+# >=1 CORRECTNESS_r*.json or sits in the r5 window; the rotated-out
 # rows remain sweep-verified every round.
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",
     "dedup_image_phash",
+    "dedup_audio_fp",
     "ann_index_incremental",
     "ann_index_drift",
     "text_decontaminate",
@@ -92,7 +95,6 @@ GATE_ORDER = [
     "x_salted_skew_agg",
     "x_ks_drift_per_group",
     "x_hist_quantile_sketch",
-    "s2_scan_filter_pushdown",
 ]
 
 # the driver's CORRECTNESS artifact records exactly the first 50

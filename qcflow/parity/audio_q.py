@@ -140,3 +140,180 @@ def audio_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(conds["dc_offset"], F.lit(False)).alias("has_dc_offset"),
         F.coalesce(conds["noisy_audio"], F.lit(False)).alias("is_noisy"),
     )
+
+
+# --------------------------------------- audio near-dup (spectral fp)
+#
+# Construction-truth fixture for audio near-dup dedup, the audio-modality
+# twin of dedup_image_phash: 160 base clips (sinusoid mixtures, pcm16 and
+# ulaw); the first 50 get a NEAR-DUP copy — re-gained, lightly noised,
+# possibly transcoded to the other codec — with the perturbation backed
+# off per-clip until the 64-bit spectral fingerprint (audio.audio_fp64,
+# band-energy-delta sign bits in the Haitsma-Kalker robust-hash family)
+# stays within Hamming radius 3. The last-resort rung is the ORIGINAL
+# bytes under the original codec (Hamming 0), so the bound is guaranteed
+# deterministically. Truth columns (orig_id, copy_id, t_hamming) are
+# computed at build time on the encode->decode ROUNDTRIPPED signal with
+# the same kernel the executors run, so Spark's recovered distances are
+# bit-identical through the bytes. Spark must find the pairs via decode
+# -> fingerprint -> 4x16-bit banded self-join (pigeonhole: Hamming <= 3
+# guarantees >= 1 clean band, recall 1); the oracle only projects truth.
+
+N_AFP = 160
+N_AFP_COPIES = 50
+_AFP_OFF = 100_000
+_AFP_BANDS, _AFP_BAND_BITS = 4, 16
+_AFP_HAM_MAX = _AFP_BANDS - 1  # pigeonhole radius for guaranteed recall
+_AFP_FIX = os.path.join(_DIR, "fp_v1.parquet")
+
+
+def _afp_encode(x, codec):
+    from qcflow import audio
+
+    return (
+        audio.pcm16_encode(x) if codec == "pcm16" else audio.ulaw_encode(x)
+    )
+
+
+def _materialize_fp() -> None:
+    if os.path.exists(_AFP_FIX):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_AFP):
+        rng = np.random.default_rng([515153, i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.4, 0.9)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3200.0), 3)):
+            x = x + rng.uniform(0.08, 0.2) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.01, n)).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        b = _afp_encode(x, codec)
+        base_fp = audio.audio_fp64(audio.decode(b, codec), sr)
+        plant = "" if i % 9 else "no_bytes" if i % 18 else "bad_codec"
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": None if (i >= N_AFP_COPIES and plant == "no_bytes") else b,
+                "codec": "opus" if (i >= N_AFP_COPIES and plant == "bad_codec") else codec,
+                "sr_hz": sr,
+                "orig_id": None,
+                "copy_id": None,
+                "t_hamming": None,
+            }
+        )
+        if i < N_AFP_COPIES:
+            other = "ulaw" if codec == "pcm16" else "pcm16"
+            # (codec, noise amp, gain) backoff ladder; final rung = the
+            # original bytes verbatim -> Hamming 0, deterministic bound
+            for cc, amp, gain in (
+                (other, 0.008, 0.8),
+                (codec, 0.008, 0.8),
+                (codec, 0.003, 1.0),
+                (codec, 0.001, 1.0),
+                (codec, 0.0, 1.0),
+            ):
+                nrng = np.random.default_rng([515154, i])
+                cp = gain * x + (
+                    nrng.normal(0.0, amp, n) if amp > 0 else 0.0
+                )
+                cb = b if (cc == codec and amp == 0.0 and gain == 1.0) else _afp_encode(
+                    cp.astype(np.float32), cc
+                )
+                ham = audio.fp_hamming(
+                    base_fp, audio.audio_fp64(audio.decode(cb, cc), sr)
+                )
+                if ham <= _AFP_HAM_MAX:
+                    break
+            rows.append(
+                {
+                    "clip_id": i + _AFP_OFF,
+                    "bytes": cb,
+                    "codec": cc,
+                    "sr_hz": sr,
+                    "orig_id": i,
+                    "copy_id": i + _AFP_OFF,
+                    "t_hamming": ham,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("orig_id", "copy_id", "t_hamming"):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf.to_parquet(_AFP_FIX, index=False)
+
+
+_materialize_fp()
+
+
+@query(
+    "dedup_audio_fp",
+    oracle=f"""
+    SELECT CAST(orig_id AS BIGINT) AS id_a,
+           CAST(copy_id AS BIGINT) AS id_b,
+           CAST(t_hamming AS INT) AS hamming
+    FROM '{_AFP_FIX}'
+    WHERE copy_id IS NOT NULL AND t_hamming <= {_AFP_HAM_MAX}
+    """,
+)
+def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by spectral fingerprint: decode ->
+    audio_fp64 (one Arrow crossing, 8-byte rows out — clip bytes never
+    reach a shuffle) -> 4x16-bit banded self-join -> exact Hamming
+    filter, the dedup_simhash_pairs / dedup_image_phash banding applied
+    to the audio modality. Hamming <= 3 guarantees >= 1 clean band
+    (pigeonhole), so banded recall is 1 within the radius and full
+    fingerprints are only compared inside shared buckets. Restricted to
+    planted (orig, copy) pairs so the DuckDB oracle is a pure
+    truth-column projection while Spark recovers everything THROUGH the
+    bytes; NULL-bytes and unknown-codec rows yield NULL fingerprints and
+    never join."""
+    from qcflow.udfs import with_audio_fp
+
+    _materialize_fp()
+    clips = spark.read.parquet(_AFP_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    fp = with_audio_fp(clips).select("clip_id", "audio_fp").filter(
+        F.col("audio_fp").isNotNull()
+    )
+    bands = fp.select(
+        "clip_id",
+        "audio_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(audio_fp >> {j * _AFP_BAND_BITS})"
+                            f" & {(1 << _AFP_BAND_BITS) - 1}"
+                        ).alias("bucket"),
+                    )
+                    for j in range(_AFP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("clip_id", "audio_fp", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.audio_fp ^ b.audio_fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.clip_id") == F.col("a.clip_id") + _AFP_OFF),
+        )
+        .select(
+            F.col("a.clip_id").alias("id_a"),
+            F.col("b.clip_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AFP_HAM_MAX)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -386,3 +386,40 @@ def with_snr(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "snr_db", _udf(F.struct("clip_id", "bytes", "codec", "sr_hz"))
     )
+
+
+def with_audio_fp(df: DataFrame) -> DataFrame:
+    """64-bit spectral fingerprint per clip (audio.audio_fp64) from the
+    encoded bytes, one Arrow crossing: decode -> 5-segment x 17-band
+    energy -> 4x16 transition-sign bits packed as a long ``audio_fp``.
+    The 8-byte output column is what the banded Hamming self-join ships
+    — the clip bytes never reach a shuffle. Rows with NULL bytes, an
+    unknown codec, or undecodable payloads yield NULL (never task-fatal,
+    same row-level-guard contract as the other decode UDFs)."""
+
+    @F.pandas_udf("long")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            # python-int accumulator: a float64 staging array would
+            # corrupt low bits of any |fingerprint| >= 2^53
+            out: list = [None] * len(pdf)
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                out[i] = audio.audio_fp64(x, sr_eff)
+            yield pd.Series(out, dtype="Int64")
+
+    return df.withColumn(
+        "audio_fp", _udf(F.struct("bytes", "codec", "sr_hz"))
+    )

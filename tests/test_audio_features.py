@@ -163,3 +163,64 @@ def test_spectral_flatness_separates_tone_from_noise():
     assert spectral_flatness(tone) < 0.05 < NOISY_FLATNESS_MAX
     assert spectral_flatness(noise) > NOISY_FLATNESS_MAX
     assert np.isnan(spectral_flatness(tone[:2000]))
+
+
+def test_audio_fp64_gain_invariant_and_jitter_robust():
+    """Fingerprint sign bits survive global gain and low-amplitude
+    additive noise; distinct content diverges toward ~32 bits."""
+    from qcflow import audio
+
+    rng = np.random.default_rng(77)
+    sr, n = 16000, 12000
+    t = np.arange(n) / sr
+    x = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for a, f in ((0.2, 440.0), (0.12, 1333.0), (0.08, 2741.0))
+    ) + rng.normal(0, 0.01, n)
+    fp = audio.audio_fp64(x, sr)
+    assert fp == audio.audio_fp64(x.copy(), sr)  # deterministic
+    assert audio.fp_hamming(fp, audio.audio_fp64(0.5 * x, sr)) == 0
+    jit = x + rng.normal(0, 0.0005, n)
+    assert audio.fp_hamming(fp, audio.audio_fp64(jit, sr)) <= 3
+    other = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for a, f in ((0.15, 620.0), (0.1, 987.0), (0.09, 3105.0))
+    ) + rng.normal(0, 0.01, n)
+    assert audio.fp_hamming(fp, audio.audio_fp64(other, sr)) >= 12
+    assert audio.audio_fp64(np.zeros(3), sr) == 0  # degenerate input
+
+
+def test_with_audio_fp_nulls_and_bit_exactness(spark):
+    """NULL bytes / unknown codec -> NULL fingerprint; decodable rows
+    reproduce the driver-side kernel BIT-exactly (catches any float64
+    staging of the 64-bit word, which corrupts |fp| >= 2^53)."""
+    from qcflow import audio
+    from qcflow.udfs import with_audio_fp
+
+    rng = np.random.default_rng(78)
+    sr, n = 8000, 6000
+    t = np.arange(n) / sr
+    rows = []
+    expect = {}
+    for i in range(6):
+        x = (
+            0.3 * np.sin(2 * np.pi * (300.0 + 137.0 * i) * t)
+            + rng.normal(0, 0.01, n)
+        ).astype(np.float32)
+        b = audio.pcm16_encode(x)
+        rows.append((i, bytearray(b), "pcm16", sr))
+        expect[i] = audio.audio_fp64(audio.pcm16_decode(b), sr)
+    rows.append((90, None, "pcm16", sr))
+    rows.append((91, bytearray(b"\x00\x01"), "opus", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {
+        r["clip_id"]: r["audio_fp"]
+        for r in with_audio_fp(df).select("clip_id", "audio_fp").collect()
+    }
+    assert got[90] is None and got[91] is None
+    for i, fp in expect.items():
+        assert got[i] == fp, (i, got[i], fp)
+    # at least one fixture-style fingerprint must exercise the high bits
+    assert any(abs(v) >= 2**53 for v in expect.values())

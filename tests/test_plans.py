@@ -364,3 +364,13 @@ def test_image_phash_band_join_is_hash_join(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     join_on = p[p.index("Join") :][:400] if "Join" in p else p
     assert "payload" not in join_on, join_on
+
+
+def test_audio_fp_band_join_is_hash_join(spark):
+    """The audio near-dup banded self-join must pair rows via a HASH
+    join on (band, bucket) — never a nested-loop over all clip pairs —
+    and the join input must carry 8-byte fingerprints, not clip bytes."""
+    p = plan_of(QUERIES["dedup_audio_fp"](spark, SF))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    join_on = p[p.index("Join") :][:400] if "Join" in p else p
+    assert "bytes" not in join_on, join_on
