@@ -157,7 +157,8 @@ def audio_fp64(x: np.ndarray, sr: int) -> int:
     within a small Hamming radius while distinct content diverges to
     ~32. Deterministic pure-numpy; zero/empty input -> fingerprint 0."""
     n = len(x)
-    if n < FP_SEGMENTS:
+    # seg >= 2 keeps the rFFT bin grid non-degenerate (n_bins >= 2)
+    if n < 2 * FP_SEGMENTS:
         return 0
     sr = int(sr) if sr and sr > 0 else 8000
     seg = n // FP_SEGMENTS

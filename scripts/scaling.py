@@ -456,9 +456,10 @@ box).
   bins), so driver-side bookkeeping holds at scale.
 - New r5 op families are plan-gated rather than benched: epoch
   interleave (one hash Exchange, no global sort), sequence packing
-  (one shuffle), image pHash near-dup (hash band join, no
-  nested-loop), incremental IVFPQ maintenance (assign+encode only,
-  list-pruned join) — tests/test_plans.py:339+.
+  (one shuffle), image pHash + audio spectral-fingerprint near-dup
+  (hash band joins over 8-byte hash rows — payload bytes never reach
+  a shuffle, no nested-loop), incremental IVFPQ maintenance
+  (assign+encode only, list-pruned join) — tests/test_plans.py:339+.
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 
