@@ -172,15 +172,26 @@ def main() -> int:
         )
         .localCheckpoint(eager=True)
     )
-    t0 = time.time()
-    centroids = kmeans_fit(emb, k=16, id_col="vec_id", n_iter=4)
-    queries["ann_ivf_train_k16"] = round(time.time() - t0, 3)
+    # min-of-2 like the decode/resume keys: the first train pass in a JVM
+    # additionally pays Catalyst/codegen for plans nothing else compiles
+    # (isolated A/B: 6.4 s first pass vs 2.9 s steady on a quiet box)
+    train_best = None
+    for _rep in range(2):
+        t0 = time.time()
+        centroids = kmeans_fit(emb, k=16, id_col="vec_id", n_iter=4)
+        sec = time.time() - t0
+        train_best = sec if train_best is None or sec < train_best else train_best
+    queries["ann_ivf_train_k16"] = round(train_best, 3)
     qs = emb.filter(F.col("vec_id") < 100)
-    t0 = time.time()
-    ivf_topk(emb, qs, centroids, k=10, nprobe=2).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    queries["ann_ivf_search_q100"] = round(time.time() - t0, 3)
+    search_best = None
+    for _rep in range(2):
+        t0 = time.time()
+        ivf_topk(emb, qs, centroids, k=10, nprobe=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        search_best = sec if search_best is None or sec < search_best else search_best
+    queries["ann_ivf_search_q100"] = round(search_best, 3)
 
     # Batch-ADC PQ search (the r4 single-join reformulation) at Q=1000:
     # encode the corpus with a fixed codebook, then one broadcast join
@@ -193,11 +204,15 @@ def main() -> int:
     adc_queries = [
         (100_000 + i, rng.normal(0.0, 1.0, 64)) for i in range(1000)
     ]
-    t0 = time.time()
-    pq_adc_topk(codes, adc_queries, cb, k=10).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    queries["ann_pq_adc_batch_q1000"] = round(time.time() - t0, 3)
+    adc_best = None
+    for _rep in range(2):
+        t0 = time.time()
+        pq_adc_topk(codes, adc_queries, cb, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        adc_best = sec if adc_best is None or sec < adc_best else adc_best
+    queries["ann_pq_adc_batch_q1000"] = round(adc_best, 3)
     emb.unpersist()
     codes.unpersist()
 
