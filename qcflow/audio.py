@@ -187,3 +187,38 @@ def audio_fp64(x: np.ndarray, sr: int) -> int:
 def fp_hamming(a: int, b: int) -> int:
     """Hamming distance between two packed 64-bit fingerprints."""
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+# ----------------------------------------------- loudness normalization
+
+TARGET_RMS = 0.1  # ~ -20 dBFS, the common speech-corpus level target
+MAX_GAIN = 16.0  # +24 dB cap: never amplify near-silence into noise
+
+
+def loudness_gain(
+    x: np.ndarray,
+    target_rms: float = TARGET_RMS,
+    max_gain: float = MAX_GAIN,
+    block: int = 1 << 16,
+) -> tuple[float, float, bool]:
+    """Per-clip loudness normalization parameters from decoded samples:
+    (rms, gain_db, clip_after). Gain drives the clip to ``target_rms``,
+    capped at ``max_gain``; ``clip_after`` flags clips whose peak would
+    exceed full scale after the gain (a real pipeline routes those to a
+    limiter). Blocked float64 sums keep the working set L2-resident
+    (same rationale as ``snr_vs_synth``); the block size is part of the
+    arithmetic (np.sum's pairwise grouping differs per block), so every
+    caller — fixture build and executor alike — must use the default,
+    which is what makes the construction-truth gate bit-exact."""
+    n = len(x)
+    if n == 0:
+        return 0.0, 20.0 * float(np.log10(max_gain)), False
+    acc = 0.0
+    peak = 0.0
+    for s in range(0, n, block):
+        seg = x[s : s + block].astype(np.float64)
+        acc += float(np.sum(seg * seg))
+        peak = max(peak, float(np.max(np.abs(seg))))
+    rms = float(np.sqrt(acc / n))
+    gain = max_gain if rms == 0.0 else min(target_rms / rms, max_gain)
+    return rms, 20.0 * float(np.log10(gain)), bool(peak * gain > 1.0)

@@ -317,3 +317,108 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AFP_HAM_MAX)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ------------------------------------------- loudness normalization gate
+#
+# Construction-truth fixture for with_loudness (qcflow/udfs.py): 240
+# clips in four regimes — near-silent (gain hits the MAX_GAIN cap),
+# mid-level with planted 0.75 spikes (gain > 1 pushes the peak past full
+# scale -> clip_after), hot (attenuation, gain < 1), and undecodable
+# (NULL bytes / unknown codec -> NULL outputs, excluded from the gate by
+# the `decodable` truth flag and covered by a unit test instead). Truth
+# (rms / gain_db / clip_after) is computed AT BUILD TIME by running the
+# identical kernel on the encode->decode roundtripped signal, so Spark's
+# recovery through the bytes is bit-exact; the oracle only projects the
+# truth columns.
+
+N_GAIN = 240
+_GAIN_FIX = os.path.join(_DIR, "gain_v1.parquet")
+
+
+def _materialize_gain() -> None:
+    if os.path.exists(_GAIN_FIX):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_GAIN):
+        rng = np.random.default_rng([515155, i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.3, 0.8)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3000.0), 2)):
+            x = x + np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        regime = i % 4
+        if regime == 0:  # near-silent -> MAX_GAIN cap
+            target = float(rng.uniform(0.001, 0.005))
+        elif regime == 1:  # mid-level + spikes -> clip_after
+            target = float(rng.uniform(0.03, 0.06))
+        elif regime == 2:  # hot -> attenuation
+            target = float(rng.uniform(0.15, 0.5))
+        else:  # undecodable
+            target = 0.1
+        base_rms = float(np.sqrt(np.mean(x * x)))
+        x = x * (target / base_rms)
+        if regime == 1:
+            spikes = rng.integers(0, n, 5)
+            x[spikes] = 0.75
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "rms_t": None,
+            "gain_db_t": None,
+            "clip_after_t": None,
+            "decodable": regime != 3,
+        }
+        if regime == 3:
+            if (i // 4) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x00\x01", codec="opus")
+        else:
+            b = _afp_encode(x, codec)
+            rms, gdb, clip = audio.loudness_gain(audio.decode(b, codec))
+            row.update(
+                bytes=b, codec=codec, rms_t=rms, gain_db_t=gdb,
+                clip_after_t=clip,
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    pdf["clip_after_t"] = pdf["clip_after_t"].astype("boolean")
+    pdf.to_parquet(_GAIN_FIX, index=False)
+
+
+_materialize_gain()
+
+
+@query(
+    "audio_loudness_normalize",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           rms_t AS rms, gain_db_t AS gain_db, clip_after_t AS clip_after
+    FROM '{_GAIN_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness normalization over the gain fixture: decode -> blocked
+    RMS -> target gain (dB) + post-gain clip flag, recovered THROUGH the
+    bytes and hash-compared against build-time truth from the identical
+    kernel. Map-only at any scale — one Arrow crossing, no shuffle, the
+    bytes never leave the scan task. The undecodable regime yields NULLs
+    and is excluded here via the truth flag (unit-tested instead: the
+    guard is row-level, never task-fatal)."""
+    from qcflow.udfs import with_loudness
+
+    _materialize_gain()
+    clips = spark.read.parquet(_GAIN_FIX).select("clip_id", "bytes", "codec")
+    return (
+        with_loudness(clips)
+        .filter(F.col("rms").isNotNull())
+        .select("clip_id", "rms", "gain_db", "clip_after")
+    )

@@ -584,3 +584,100 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_chain(spark, sf_dir)
     pairs = _jaccard_pairs(corpus, thr=0.5)
     return survivors(corpus.select("doc_id"), pairs)
+
+
+# ------------------------------------------------- chunk-level exact dedup
+
+# Sub-document granularity: the standard "exact substring dedup" shape
+# (Lee et al., "Deduplicating Training Data Makes Language Models Better")
+# at fixed word-window granularity. A document's text is split into
+# consecutive CHUNK_WORDS-word chunks; a chunk OCCURRENCE survives iff it
+# is the globally first occurrence of that chunk text (min (doc_id,
+# chunk_idx)); the deduped document is its surviving chunks re-joined in
+# order. Whole-doc copies lose every chunk; natural cross-doc repetition
+# is trimmed where it occurs instead of dropping either document.
+_CHUNK_WORDS = 8
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH corpus AS ({_SQL_CORPUS_EXACT}),
+    tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               toks[i*{_CHUNK_WORDS}+1 : i*{_CHUNK_WORDS}+{_CHUNK_WORDS}],
+               ' ') AS chunk
+      FROM tok, unnest(range((len(toks) + {_CHUNK_WORDS} - 1) // {_CHUNK_WORDS}))
+           AS r(i)
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY chunk_idx), '') AS dedup_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup over the exact-copy corpus.
+
+    Scale shape (the skew-safe one): first-occurrence per chunk is a
+    groupBy(chunk).agg(min(struct(doc_id, chunk_idx))) — partial min
+    combines MAP-SIDE, so a chunk repeated a million times ships one row
+    per map task, unlike a window over the chunk partition (whole hot key
+    on one reducer). The join back is an equi-join on chunk whose right
+    side is distinct-chunk-sized; AQE's skew-join split covers hot chunks
+    on the probe side. Reassembly groups by doc_id (natural key, no skew).
+    At 100 TB, chunk text would be replaced by xxhash64(chunk) for the
+    shuffle key (8-byte keys) with full-text verify inside colliding
+    groups — same plan shape; the literal text keeps the oracle exact here.
+    """
+    corpus = _corpus_exact(spark, sf_dir)
+    c = _CHUNK_WORDS
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    chunk_arr = F.expr(
+        f"""CASE WHEN size(toks) = 0 THEN array()
+                ELSE transform(
+                  sequence(0, CAST(ceil(size(toks) / {c}.0) AS INT) - 1),
+                  i -> array_join(slice(toks, i * {c} + 1, {c}), ' '))
+           END"""
+    )
+    occ = (
+        corpus.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    )
+    firsts = occ.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first_occ")
+    )
+    keep = (F.col("doc_id") == F.col("first_occ.doc_id")) & (
+        F.col("chunk_idx") == F.col("first_occ.chunk_idx")
+    )
+    return (
+        occ.join(firsts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("chunk_idx", "chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

@@ -287,3 +287,63 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_hit"),
         )
     )
+
+
+# ----------------------------------------------- transcript-draft CER QC
+
+@query(
+    "text_edit_distance_qc",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    pair AS (
+      SELECT doc_id,
+             array_to_string(toks, ' ') AS canon,
+             array_to_string(
+               list_transform(
+                 list_filter(range(len(toks)),
+                             i -> i % (CASE WHEN doc_id % 5 = 0 THEN 7
+                                            ELSE 29 END) <> 0),
+                 i -> toks[i + 1]),
+               ' ') AS draft
+      FROM tok
+    )
+    SELECT doc_id,
+           levenshtein(canon, draft) AS edit_dist,
+           CAST(levenshtein(canon, draft) AS DOUBLE)
+             / greatest(length(canon), 1) AS cer,
+           CASE WHEN CAST(levenshtein(canon, draft) AS DOUBLE)
+                     / greatest(length(canon), 1) > 0.05
+                THEN 1 ELSE 0 END AS cer_flag
+    FROM pair
+    """,
+)
+def text_edit_distance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-vs-draft character error rate: the QC check a speech
+    pipeline runs between the shipped transcript and an independent ASR
+    draft (here a deterministic planted draft: every 7th word dropped for
+    doc_id%5==0 docs — heavy corruption — every 29th otherwise). The
+    distance is Spark's built-in ``levenshtein`` (JVM codegen, per-row
+    compute, NO shuffle — the whole check is map-only and embarrassingly
+    parallel at any scale); cer normalises by the canonical length and
+    the flag marks rows a real pipeline would route to human review.
+    Both engines derive the draft with identical integer arithmetic, so
+    the oracle checks the full distance computation."""
+    tok = t(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    period = F.when(F.col("doc_id") % 5 == 0, F.lit(7)).otherwise(F.lit(29))
+    pair = tok.select(
+        "doc_id",
+        F.array_join("toks", " ").alias("canon"),
+        F.array_join(
+            F.filter("toks", lambda x, i: i % period != 0), " "
+        ).alias("draft"),
+    )
+    dist = F.levenshtein("canon", "draft")
+    cer = dist.cast("double") / F.greatest(F.length("canon"), F.lit(1))
+    return pair.select(
+        "doc_id",
+        dist.alias("edit_dist"),
+        cer.alias("cer"),
+        F.when(cer > 0.05, 1).otherwise(0).alias("cer_flag"),
+    )

@@ -423,3 +423,34 @@ def with_audio_fp(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "audio_fp", _udf(F.struct("bytes", "codec", "sr_hz"))
     )
+
+
+def with_loudness(df: DataFrame) -> DataFrame:
+    """Loudness-normalization parameters per clip (audio.loudness_gain):
+    decode -> blocked-RMS -> target gain, one Arrow crossing. Emits
+    ``rms`` / ``gain_db`` / ``clip_after`` (post-gain peak would exceed
+    full scale -> route to a limiter). Map-only: no shuffle at any scale;
+    the bytes column never leaves the scan task. Rows with NULL bytes, an
+    unknown codec, or undecodable payloads yield NULL for all three
+    (row-level guard, never task-fatal)."""
+
+    @F.pandas_udf("rms double, gain_db double, clip_after boolean")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rms = np.full(len(pdf), np.nan)
+            gdb = np.full(len(pdf), np.nan)
+            clip = pd.array([None] * len(pdf), dtype="boolean")
+            for i, (b, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                except (ValueError, TypeError):
+                    continue
+                rms[i], gdb[i], clip[i] = audio.loudness_gain(x)
+            yield pd.DataFrame(
+                {"rms": rms, "gain_db": gdb, "clip_after": clip}
+            )
+
+    out = df.withColumn("_l", _udf(F.struct("bytes", "codec")))
+    return out.select("*", "_l.rms", "_l.gain_db", "_l.clip_after").drop("_l")

@@ -224,3 +224,40 @@ def test_with_audio_fp_nulls_and_bit_exactness(spark):
         assert got[i] == fp, (i, got[i], fp)
     # at least one fixture-style fingerprint must exercise the high bits
     assert any(abs(v) >= 2**53 for v in expect.values())
+
+
+def test_with_loudness_nulls_caps_and_bit_exactness(spark):
+    """NULL bytes / unknown codec -> all-NULL loudness outputs; decodable
+    rows reproduce the driver-side kernel bit-exactly; the gain cap and
+    post-gain clip flag fire where constructed."""
+    from qcflow.udfs import with_loudness
+
+    sr, n = 8000, 5000
+    t = np.arange(n) / sr
+    base = np.sin(2 * np.pi * 440.0 * t)
+    rows, expect = [], {}
+    for i, target in enumerate((0.002, 0.05, 0.3)):
+        x = (base * target / float(np.sqrt(np.mean(base**2)))).astype(
+            np.float32
+        )
+        if i == 1:  # spike -> peak * gain > 1
+            x[100] = 0.8
+        b = audio.pcm16_encode(x)
+        rows.append((i, bytearray(b), "pcm16", sr))
+        expect[i] = audio.loudness_gain(audio.pcm16_decode(b))
+    rows.append((90, None, "pcm16", sr))
+    rows.append((91, bytearray(b"\x00\x01"), "opus", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {
+        r["clip_id"]: (r["rms"], r["gain_db"], r["clip_after"])
+        for r in with_loudness(df).collect()
+    }
+    assert got[90] == (None, None, None)
+    assert got[91] == (None, None, None)
+    for i, (rms, gdb, clip) in expect.items():
+        assert got[i] == (rms, gdb, clip), (i, got[i], expect[i])
+    assert got[0][1] == 20.0 * np.log10(audio.MAX_GAIN)  # cap fires
+    assert got[1][2] is True and got[2][2] is False  # clip flag
+    assert got[2][1] < 0.0  # hot clip attenuates
