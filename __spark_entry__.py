@@ -37,13 +37,16 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # rollup/grouping_sets/ecdf_aggregated/ts_band_join, text_decontaminate,
 # x_domain_mix) plus the 6 new r5 gates (x_epoch_shuffle,
 # x_sequence_pack, dedup_image_phash, dedup_audio_fp,
-# ann_index_incremental, ann_index_drift) — and keeps 27 rows:
+# ann_index_incremental, ann_index_drift) — and keeps 24 rows:
 # flagships, every path whose code changed this round (the batch-ANN
 # search family), and one representative per remaining family
 # (s2_scan_filter_pushdown rotated out to make room, r4-attested,
-# unchanged). After this rotation every registry name has appeared in
-# >=1 CORRECTNESS_r*.json or sits in the r5 window; the rotated-out
-# rows remain sweep-verified every round.
+# unchanged; late-r5: text_quality_score / text_token_stats /
+# x_salted_skew_agg — all r4-attested, unchanged — swapped for the
+# three late-r5 ops dedup_chunk_exact / text_edit_distance_qc /
+# audio_loudness_normalize). After this rotation every registry name
+# has appeared in >=1 CORRECTNESS_r*.json or sits in the r5 window;
+# the rotated-out rows remain sweep-verified every round.
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",
@@ -51,6 +54,9 @@ GATE_ORDER = [
     "dedup_audio_fp",
     "ann_index_incremental",
     "ann_index_drift",
+    "dedup_chunk_exact",
+    "text_edit_distance_qc",
+    "audio_loudness_normalize",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -88,11 +94,8 @@ GATE_ORDER = [
     "ann_pq_train",
     "ann_ivfpq_residual_trained",
     "text_langid_heuristic",
-    "text_quality_score",
-    "text_token_stats",
     "mm_image_features",
     "mm_video_frames",
-    "x_salted_skew_agg",
     "x_ks_drift_per_group",
     "x_hist_quantile_sketch",
 ]
