@@ -43,8 +43,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # (s2_scan_filter_pushdown rotated out to make room, r4-attested,
 # unchanged; late-r5: text_quality_score / text_token_stats /
 # x_salted_skew_agg — all r4-attested, unchanged — swapped for the
-# three late-r5 ops dedup_chunk_exact / text_edit_distance_qc /
-# audio_loudness_normalize). After this rotation every registry name
+# four late-r5 ops dedup_chunk_exact / text_edit_distance_qc /
+# audio_loudness_normalize / audio_trim_silence; dedup_simhash_pairs
+# also rotated out — r4-attested, its banding machinery re-attested
+# through dedup_image_phash/dedup_audio_fp). After this rotation every registry name
 # has appeared in >=1 CORRECTNESS_r*.json or sits in the r5 window;
 # the rotated-out rows remain sweep-verified every round.
 GATE_ORDER = [
@@ -57,6 +59,7 @@ GATE_ORDER = [
     "dedup_chunk_exact",
     "text_edit_distance_qc",
     "audio_loudness_normalize",
+    "audio_trim_silence",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -82,7 +85,6 @@ GATE_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "dedup_resolve_clusters",
     "dedup_survivors",

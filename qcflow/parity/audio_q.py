@@ -422,3 +422,104 @@ def audio_loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rms").isNotNull())
         .select("clip_id", "rms", "gain_db", "clip_after")
     )
+
+
+# ------------------------------------------------- silence-trim gate
+#
+# Construction-truth fixture for with_trim_silence: 200 clips with
+# frame-aligned leading/trailing pads of sub-threshold noise around a
+# voiced tone burst; every 5th-and-3rd row is all-silent (bounds (0,0))
+# and every 5th-and-4th undecodable (NULLs, unit-tested; excluded here
+# by the `decodable` flag). Truth (lead/kept/trail SAMPLES — integers,
+# exact compare) computed at build time by the identical kernel on the
+# encode->decode roundtripped signal.
+
+N_TRIM = 200
+_TRIM_FIX = os.path.join(_DIR, "trim_v1.parquet")
+
+
+def _materialize_trim() -> None:
+    if os.path.exists(_TRIM_FIX):
+        return
+    from qcflow import audio
+    from qcflow.udfs import trim_bounds
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_TRIM):
+        rng = np.random.default_rng([515156, i])
+        sr = int(rng.choice([8000, 16000]))
+        fl = int(round(sr * 0.02))
+        regime = i % 5
+        lead_fr = int(rng.integers(0, 20))
+        trail_fr = int(rng.integers(0, 20))
+        voiced_fr = int(rng.integers(8, 40))
+        pad = lambda k: rng.normal(0.0, 0.0005, k * fl)  # noqa: E731
+        t = np.arange(voiced_fr * fl) / sr
+        tone = 0.3 * np.sin(2 * np.pi * float(rng.uniform(200, 2500)) * t)
+        if regime == 3:  # all silent
+            x = pad(lead_fr + voiced_fr + trail_fr)
+        else:
+            x = np.concatenate([pad(lead_fr), tone, pad(trail_fr)])
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "lead_t": None,
+            "kept_t": None,
+            "trail_t": None,
+            "decodable": regime != 4,
+        }
+        if regime == 4:
+            if (i // 5) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x7f\x00", codec="amr")
+        else:
+            b = _afp_encode(x, codec)
+            s, e = trim_bounds(audio.decode(b, codec), sr)
+            row.update(
+                bytes=b, codec=codec, lead_t=s, kept_t=e - s,
+                trail_t=len(x) - e,
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    for c in ("lead_t", "kept_t", "trail_t"):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf.to_parquet(_TRIM_FIX, index=False)
+
+
+_materialize_trim()
+
+
+@query(
+    "audio_trim_silence",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           CAST(lead_t AS BIGINT) AS lead_samples,
+           CAST(kept_t AS BIGINT) AS kept_samples,
+           CAST(trail_t AS BIGINT) AS trail_samples
+    FROM '{_TRIM_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style leading/trailing silence trim recovered THROUGH the
+    bytes: decode -> 20 ms frame-RMS grid -> first/last voiced frame,
+    integer sample bounds hash-compared exactly against build-time truth
+    from the identical kernel. Map-only at any scale (one Arrow
+    crossing, no shuffle); all-silent clips yield (0, 0, n); the
+    undecodable regime yields NULLs, excluded via the truth flag and
+    unit-tested."""
+    from qcflow.udfs import with_trim_silence
+
+    _materialize_trim()
+    clips = spark.read.parquet(_TRIM_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return (
+        with_trim_silence(clips)
+        .filter(F.col("lead_samples").isNotNull())
+        .select("clip_id", "lead_samples", "kept_samples", "trail_samples")
+    )

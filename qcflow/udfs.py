@@ -454,3 +454,77 @@ def with_loudness(df: DataFrame) -> DataFrame:
 
     out = df.withColumn("_l", _udf(F.struct("bytes", "codec")))
     return out.select("*", "_l.rms", "_l.gain_db", "_l.clip_after").drop("_l")
+
+
+def trim_bounds(
+    x32: np.ndarray,
+    sr_eff: int,
+    frame_ms: float = SILENCE_FRAME_MS,
+    thresh: float = SILENCE_FRAME_RMS,
+) -> tuple[int, int]:
+    """Leading/trailing-silence trim bounds on the 20 ms frame grid:
+    (start_sample, end_sample) of the span from the first to the last
+    voiced frame (frame RMS >= thresh; the sub-frame tail counts as a
+    partial frame). All-silent clips give (0, 0). Integer outputs — the
+    construction-truth gate compares them exactly, no float-repr
+    concerns. One reshape pass; clips are single-row payloads so the
+    working set is the clip itself (the blocked-pass treatment of
+    acoustic_stats applies if clip length ever grows past L2)."""
+    n = len(x32)
+    if n == 0:
+        return 0, 0
+    fl = max(1, int(round(sr_eff * frame_ms / 1000.0)))
+    n_fr = n // fl
+    x = x32.astype(np.float64)
+    rmss = []
+    if n_fr:
+        fr = x[: n_fr * fl].reshape(n_fr, fl)
+        rmss = list(np.sqrt(np.mean(fr * fr, axis=1)))
+    if n - n_fr * fl:
+        tail = x[n_fr * fl :]
+        rmss.append(float(np.sqrt(np.mean(tail * tail))))
+    voiced = [i for i, r in enumerate(rmss) if r >= thresh]
+    if not voiced:
+        return 0, 0
+    return voiced[0] * fl, min(n, (voiced[-1] + 1) * fl)
+
+
+def with_trim_silence(df: DataFrame) -> DataFrame:
+    """VAD-style silence trim per clip: decode -> 20 ms frame-RMS grid ->
+    first/last voiced frame -> (lead_samples, kept_samples,
+    trail_samples). Map-only, one Arrow crossing, bytes never leave the
+    scan task; NULL bytes / unknown codec / undecodable payloads yield
+    NULLs (row-level guard). A real pipeline follows with a slice +
+    re-encode of x[lead : lead + kept]; the bounds are the testable
+    contract."""
+
+    @F.pandas_udf("lead_samples long, kept_samples long, trail_samples long")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lead = pd.array([None] * len(pdf), dtype="Int64")
+            kept = pd.array([None] * len(pdf), dtype="Int64")
+            trail = pd.array([None] * len(pdf), dtype="Int64")
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                s, e = trim_bounds(x, sr_eff)
+                lead[i], kept[i], trail[i] = s, e - s, len(x) - e
+            yield pd.DataFrame(
+                {"lead_samples": lead, "kept_samples": kept, "trail_samples": trail}
+            )
+
+    out = df.withColumn("_t", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select(
+        "*", "_t.lead_samples", "_t.kept_samples", "_t.trail_samples"
+    ).drop("_t")

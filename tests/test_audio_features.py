@@ -261,3 +261,44 @@ def test_with_loudness_nulls_caps_and_bit_exactness(spark):
     assert got[0][1] == 20.0 * np.log10(audio.MAX_GAIN)  # cap fires
     assert got[1][2] is True and got[2][2] is False  # clip flag
     assert got[2][1] < 0.0  # hot clip attenuates
+
+
+def test_with_trim_silence_nulls_and_planted_bounds(spark):
+    """NULL bytes / unknown codec -> all-NULL trim bounds; planted
+    frame-aligned pads are recovered exactly through pcm16 bytes; an
+    all-silent clip trims to nothing."""
+    from qcflow.udfs import trim_bounds, with_trim_silence
+
+    rng = np.random.default_rng(81)
+    sr, fl = 8000, 160
+    rows, expect = [], {}
+    for i, (lead_fr, trail_fr) in enumerate(((3, 5), (0, 7), (11, 0))):
+        tone = 0.3 * np.sin(2 * np.pi * 440.0 * np.arange(12 * fl) / sr)
+        x = np.concatenate(
+            [
+                rng.normal(0.0, 0.0005, lead_fr * fl),
+                tone,
+                rng.normal(0.0, 0.0005, trail_fr * fl),
+            ]
+        ).astype(np.float32)
+        b = audio.pcm16_encode(x)
+        rows.append((i, bytearray(b), "pcm16", sr))
+        # planted pads ARE the kernel's answer on the roundtrip
+        s, e = trim_bounds(audio.pcm16_decode(b), sr)
+        assert (s, e) == (lead_fr * fl, (lead_fr + 12) * fl)
+        expect[i] = (s, e - s, len(x) - e)
+    silent = rng.normal(0.0, 0.0005, 8 * fl).astype(np.float32)
+    rows.append((3, bytearray(audio.pcm16_encode(silent)), "pcm16", sr))
+    expect[3] = (0, 0, 8 * fl)
+    rows.append((90, None, "pcm16", sr))
+    rows.append((91, bytearray(b"\x00\x01"), "amr", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {
+        r["clip_id"]: (r["lead_samples"], r["kept_samples"], r["trail_samples"])
+        for r in with_trim_silence(df).collect()
+    }
+    assert got[90] == (None, None, None) and got[91] == (None, None, None)
+    for i, want in expect.items():
+        assert got[i] == want, (i, got[i], want)
