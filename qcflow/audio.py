@@ -189,6 +189,55 @@ def fp_hamming(a: int, b: int) -> int:
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
 
 
+# ----------------------------------------------- sample-rate conversion
+
+RS_HALF = 16  # 32-tap windowed-sinc interpolation kernel
+
+
+def resample(
+    x: np.ndarray,
+    sr_in: int,
+    sr_out: int,
+    half: int = RS_HALF,
+    block: int = 8192,
+) -> np.ndarray:
+    """Rational sample-rate conversion by windowed-sinc interpolation:
+    output sample m sits at input position t = m * sr_in / sr_out and is
+    a 2*half-tap Hann-windowed sinc dot product around t, with the sinc
+    cutoff at the LOWER of the two Nyquists (anti-aliasing on
+    downsample). Rows are DC-normalized (each tap row divided by its
+    sum) so constant signals pass through exactly. The tap phase is
+    derived with INTEGER arithmetic (m*sr_in divmod sr_out), so the
+    output is bit-identical for any block size / partition layout — the
+    per-output-sample dot product never spans a block boundary. Output
+    length floor(n * sr_out / sr_in); identical rates return the input
+    unchanged. O(n_out * taps) and L2-blocked like the other kernels."""
+    n = len(x)
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"bad sample rates: {sr_in} -> {sr_out}")
+    if sr_in == sr_out:
+        return x.astype(np.float32)
+    n_out = n * sr_out // sr_in
+    if n == 0 or n_out == 0:
+        return np.zeros(0, dtype=np.float32)
+    xi = np.pad(x.astype(np.float64), (half, half))
+    fc = min(1.0, sr_out / sr_in)
+    offs = np.arange(-half + 1, half + 1, dtype=np.int64)  # 2*half taps
+    out = np.empty(n_out, dtype=np.float64)
+    for s in range(0, n_out, block):
+        e = min(s + block, n_out)
+        num = np.arange(s, e, dtype=np.int64) * sr_in
+        k0 = num // sr_out
+        frac = (num - k0 * sr_out).astype(np.float64) / sr_out
+        u = offs[None, :].astype(np.float64) - frac[:, None]
+        w = 0.5 + 0.5 * np.cos(np.pi * u / half)  # |u| <= half by range
+        h = fc * np.sinc(fc * u) * w
+        h /= h.sum(axis=1, keepdims=True)
+        idx = k0[:, None] + offs[None, :] + half
+        out[s:e] = (xi[idx] * h).sum(axis=1)
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
+
+
 # ----------------------------------------------- loudness normalization
 
 TARGET_RMS = 0.1  # ~ -20 dBFS, the common speech-corpus level target

@@ -175,6 +175,22 @@ def _afp_encode(x, codec):
     )
 
 
+def _decodable(clips: DataFrame) -> DataFrame:
+    """Input-level decodability filter (NULL bytes / unknown codec),
+    applied BEFORE the decode UDF. Filtering on the UDF's own output
+    instead lets predicate pushdown clone the Python node (the filter
+    and the downstream projection each get their own ArrowEvalPython =
+    every clip decoded TWICE); this predicate references scan columns
+    only, so it pushes to the parquet scan and the plan keeps exactly
+    one Arrow crossing (gated in tests/test_plans.py). The UDFs' own
+    row-level NULL guards stay unit-tested."""
+    from qcflow import audio
+
+    return clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+
+
 def _materialize_fp() -> None:
     if os.path.exists(_AFP_FIX):
         return
@@ -279,9 +295,7 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = spark.read.parquet(_AFP_FIX).select(
         "clip_id", "bytes", "codec", "sr_hz"
     )
-    fp = with_audio_fp(clips).select("clip_id", "audio_fp").filter(
-        F.col("audio_fp").isNotNull()
-    )
+    fp = with_audio_fp(_decodable(clips)).select("clip_id", "audio_fp")
     bands = fp.select(
         "clip_id",
         "audio_fp",
@@ -417,10 +431,8 @@ def audio_loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _materialize_gain()
     clips = spark.read.parquet(_GAIN_FIX).select("clip_id", "bytes", "codec")
-    return (
-        with_loudness(clips)
-        .filter(F.col("rms").isNotNull())
-        .select("clip_id", "rms", "gain_db", "clip_after")
+    return with_loudness(_decodable(clips)).select(
+        "clip_id", "rms", "gain_db", "clip_after"
     )
 
 
@@ -518,8 +530,206 @@ def audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = spark.read.parquet(_TRIM_FIX).select(
         "clip_id", "bytes", "codec", "sr_hz"
     )
-    return (
-        with_trim_silence(clips)
-        .filter(F.col("lead_samples").isNotNull())
-        .select("clip_id", "lead_samples", "kept_samples", "trail_samples")
+    return with_trim_silence(_decodable(clips)).select(
+        "clip_id", "lead_samples", "kept_samples", "trail_samples"
+    )
+
+
+# ------------------------------------------- trim re-encode gate
+#
+# Completes audio_trim_silence: the fixture plants frame-aligned pads
+# around a tone burst (same construction family, fresh seed/file), and
+# the truth columns are md5 + length of the RE-ENCODED SLICE computed at
+# build time with the identical kernel chain (decode -> trim_bounds ->
+# slice -> same-codec encode) on the roundtripped bytes. Spark must
+# reproduce the payload bytes exactly THROUGH the decode; DuckDB reads
+# the truth columns only. All-silent rows carry md5(b"") with 0 samples.
+
+N_TRIMENC = 200
+_TRIMENC_FIX = os.path.join(_DIR, "trimenc_v1.parquet")
+
+
+def _materialize_trimenc() -> None:
+    if os.path.exists(_TRIMENC_FIX):
+        return
+    import hashlib
+
+    from qcflow import audio
+    from qcflow.udfs import trim_bounds
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_TRIMENC):
+        rng = np.random.default_rng([515157, i])
+        sr = int(rng.choice([8000, 16000]))
+        fl = int(round(sr * 0.02))
+        regime = i % 5
+        lead_fr = int(rng.integers(0, 16))
+        trail_fr = int(rng.integers(0, 16))
+        voiced_fr = int(rng.integers(8, 32))
+        pad = lambda k: rng.normal(0.0, 0.0005, k * fl)  # noqa: E731
+        t = np.arange(voiced_fr * fl) / sr
+        tone = 0.3 * np.sin(2 * np.pi * float(rng.uniform(200, 2500)) * t)
+        if regime == 3:  # all silent -> empty re-encoded payload
+            x = pad(lead_fr + voiced_fr + trail_fr)
+        else:
+            x = np.concatenate([pad(lead_fr), tone, pad(trail_fr)])
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "out_md5": None,
+            "out_n": None,
+            "decodable": regime != 4,
+        }
+        if regime == 4:
+            if (i // 5) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x7f\x00", codec="amr")
+        else:
+            b = _afp_encode(x, codec)
+            dec = audio.decode(b, codec)
+            s, e = trim_bounds(dec, sr)
+            out = _afp_encode(dec[s:e], codec)
+            row.update(
+                bytes=b, codec=codec,
+                out_md5=hashlib.md5(out).hexdigest(), out_n=e - s,
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    pdf["out_n"] = pdf["out_n"].astype("Int64")
+    pdf.to_parquet(_TRIMENC_FIX, index=False)
+
+
+_materialize_trimenc()
+
+
+@query(
+    "audio_trim_reencode",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           out_md5,
+           CAST(out_n AS BIGINT) AS trim_samples
+    FROM '{_TRIMENC_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_trim_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim -> slice -> same-codec re-encode recovered THROUGH the
+    bytes: the produced payload's md5 + sample count hash-compared
+    against build-time truth from the identical kernel chain. Map-only
+    at any scale (one Arrow crossing, no shuffle); the md5 is computed
+    JVM-side (F.md5) so the binary column never crosses back to Python.
+    All-silent clips emit empty payloads; undecodable rows NULL out and
+    are excluded via the truth flag (unit-tested)."""
+    from qcflow.udfs import with_trim_reencode
+
+    _materialize_trimenc()
+    clips = spark.read.parquet(_TRIMENC_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return with_trim_reencode(_decodable(clips)).select(
+        "clip_id",
+        F.md5(F.col("trim_bytes")).alias("out_md5"),
+        "trim_samples",
+    )
+
+
+# ------------------------------------------- resample-to-16k gate
+#
+# Construction truth for with_resample: clips synthesized at ALL FIVE
+# valid rates (band-limited below the 16 kHz target Nyquist so the
+# content survives conversion), both codecs, plus an undecodable
+# regime; truth = md5 + length of the 16 kHz pcm16 payload computed at
+# build with the identical windowed-sinc kernel on the roundtripped
+# bytes. The kernel's integer tap phase makes the executor-side bytes
+# bit-identical to the build-side truth on any partition layout.
+
+N_RESAMP = 160
+_RESAMP_FIX = os.path.join(_DIR, "resamp_v1.parquet")
+_RESAMP_TARGET = 16000
+
+
+def _materialize_resamp() -> None:
+    if os.path.exists(_RESAMP_FIX):
+        return
+    import hashlib
+
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_RESAMP):
+        rng = np.random.default_rng([515158, i])
+        sr = int(audio.VALID_SR[i % len(audio.VALID_SR)])
+        n = int(sr * float(rng.uniform(0.2, 0.8)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for _ in range(3):
+            f = float(rng.uniform(120.0, 3400.0))  # < target Nyquist
+            x += float(rng.uniform(0.08, 0.25)) * np.sin(
+                2 * np.pi * f * t + float(rng.uniform(0, 2 * np.pi))
+            )
+        x += rng.normal(0.0, 0.01, n)
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "out_md5": None,
+            "out_n": None,
+            "decodable": i % 8 != 7,
+        }
+        if i % 8 == 7:
+            if (i // 8) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x00\x01\x02", codec="flac")
+        else:
+            b = _afp_encode(x, codec)
+            y = audio.resample(audio.decode(b, codec), sr, _RESAMP_TARGET)
+            out = audio.pcm16_encode(y)
+            row.update(
+                bytes=b, codec=codec,
+                out_md5=hashlib.md5(out).hexdigest(), out_n=len(y),
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    pdf["out_n"] = pdf["out_n"].astype("Int64")
+    pdf.to_parquet(_RESAMP_FIX, index=False)
+
+
+_materialize_resamp()
+
+
+@query(
+    "audio_resample_16k",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           out_md5,
+           CAST(out_n AS BIGINT) AS rs_samples
+    FROM '{_RESAMP_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Everything-to-16 kHz normalization recovered THROUGH the bytes:
+    decode -> anti-aliased windowed-sinc resample -> pcm16 encode, the
+    payload's md5 + sample count hash-compared exactly against
+    build-time truth from the identical kernel (integer tap phase =>
+    layout-invariant bytes). Map-only at any scale; md5 computed
+    JVM-side so the binary never re-crosses Arrow; undecodable rows
+    NULL out and are excluded via the truth flag (unit-tested)."""
+    from qcflow.udfs import with_resample
+
+    _materialize_resamp()
+    clips = spark.read.parquet(_RESAMP_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return with_resample(_decodable(clips), target_sr=_RESAMP_TARGET).select(
+        "clip_id",
+        F.md5(F.col("rs_bytes")).alias("out_md5"),
+        "rs_samples",
     )

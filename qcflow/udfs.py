@@ -420,8 +420,16 @@ def with_audio_fp(df: DataFrame) -> DataFrame:
                 out[i] = audio.audio_fp64(x, sr_eff)
             yield pd.Series(out, dtype="Int64")
 
+    # Per-row deterministic (the construction-truth gate relies on it),
+    # but flagged nondeterministic so Catalyst never CLONES the decode:
+    # the banded self-join infers IsNotNull on the band/bucket keys,
+    # and pushing that inferred predicate through the fingerprint
+    # projection re-evaluates the UDF once for the filter and once for
+    # the projection — every clip decoded twice PER JOIN BRANCH. The
+    # flag only constrains the optimizer (no pushdown through, no
+    # duplication); plan pinned in tests/test_plans.py.
     return df.withColumn(
-        "audio_fp", _udf(F.struct("bytes", "codec", "sr_hz"))
+        "audio_fp", _udf.asNondeterministic()(F.struct("bytes", "codec", "sr_hz"))
     )
 
 
@@ -528,3 +536,103 @@ def with_trim_silence(df: DataFrame) -> DataFrame:
     return out.select(
         "*", "_t.lead_samples", "_t.kept_samples", "_t.trail_samples"
     ).drop("_t")
+
+
+def with_trim_reencode(df: DataFrame) -> DataFrame:
+    """The actionable half of silence trimming: decode -> trim_bounds ->
+    slice x[lead : lead + kept] -> re-encode in the CLIP'S OWN codec ->
+    (trim_bytes, trim_samples, lead_samples). Map-only, one Arrow
+    crossing, bytes never leave the scan task. All-silent clips emit
+    empty bytes with trim_samples = 0; NULL bytes / unknown codec /
+    undecodable payloads emit NULLs (row-level guard, never task-fatal).
+    For frame-aligned pcm16 clips the output payload is byte-identical
+    to the substring b[2*lead : 2*(lead+kept)] (unit-tested); the
+    construction-truth gate compares md5 of the bytes against truth
+    computed with this identical kernel at fixture-build time."""
+
+    @F.pandas_udf("trim_bytes binary, trim_samples long, lead_samples long")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_b: list = [None] * len(pdf)
+            kept = pd.array([None] * len(pdf), dtype="Int64")
+            lead = pd.array([None] * len(pdf), dtype="Int64")
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                s, e = trim_bounds(x, sr_eff)
+                seg = x[s:e]
+                out_b[i] = (
+                    audio.pcm16_encode(seg)
+                    if codec == "pcm16"
+                    else audio.ulaw_encode(seg)
+                )
+                kept[i], lead[i] = e - s, s
+            yield pd.DataFrame(
+                {
+                    "trim_bytes": pd.Series(out_b, dtype=object),
+                    "trim_samples": kept,
+                    "lead_samples": lead,
+                }
+            )
+
+    out = df.withColumn("_tr", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select(
+        "*", "_tr.trim_bytes", "_tr.trim_samples", "_tr.lead_samples"
+    ).drop("_tr")
+
+
+def with_resample(df: DataFrame, target_sr: int = 16000) -> DataFrame:
+    """Normalize every clip to one sample rate (the standard
+    everything-to-16k stage before downstream models): decode ->
+    windowed-sinc rational resample (audio.resample: anti-aliased,
+    DC-exact, integer tap phase so bit-identical at any partition
+    layout) -> pcm16 re-encode -> (rs_bytes, rs_samples). Map-only, one
+    Arrow crossing; output codec is always pcm16 at ``target_sr``.
+    Clips already at the target rate pass through the same
+    decode/encode quantization for a uniform output contract. NULL
+    bytes / unknown codec / undecodable payloads yield NULLs."""
+    if target_sr not in audio.VALID_SR:
+        raise ValueError(f"target_sr {target_sr} not in {audio.VALID_SR}")
+
+    @F.pandas_udf("rs_bytes binary, rs_samples long")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_b: list = [None] * len(pdf)
+            n_out = pd.array([None] * len(pdf), dtype="Int64")
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                y = audio.resample(x, sr_eff, target_sr)
+                out_b[i] = audio.pcm16_encode(y)
+                n_out[i] = len(y)
+            yield pd.DataFrame(
+                {
+                    "rs_bytes": pd.Series(out_b, dtype=object),
+                    "rs_samples": n_out,
+                }
+            )
+
+    out = df.withColumn("_rs", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select("*", "_rs.rs_bytes", "_rs.rs_samples").drop("_rs")

@@ -302,3 +302,102 @@ def test_with_trim_silence_nulls_and_planted_bounds(spark):
     assert got[90] == (None, None, None) and got[91] == (None, None, None)
     for i, want in expect.items():
         assert got[i] == want, (i, got[i], want)
+
+
+def test_resample_kernel_properties():
+    """Windowed-sinc resampler: tone preserved through a rate change,
+    DC exact, alias energy crushed on downsample, block-size/layout
+    invariant, rational lengths exact."""
+    from qcflow.audio import resample, snr_db
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    y = resample(x, 16000, 8000)
+    assert len(y) == 8000
+    core = y[200:-200].astype(np.float64)
+    assert abs(np.argmax(np.abs(np.fft.rfft(core))) * 8000 / len(core) - 1000.0) < 2.0
+    z = resample(y, 8000, 16000)
+    assert snr_db(x[400:-400], z[400:-400]) > 40.0  # band-limited roundtrip
+    dc = np.full(5000, 0.25, dtype=np.float32)
+    assert np.max(np.abs(resample(dc, 8000, 16000)[50:-50] - 0.25)) == 0.0
+    a = resample(x, 16000, 22050, block=8192)
+    b = resample(x, 16000, 22050, block=137)
+    assert np.array_equal(a, b)  # integer tap phase -> layout-invariant
+    alias = resample((0.4 * np.sin(2 * np.pi * 6500 * t)).astype(np.float32), 16000, 8000)
+    assert float(np.sqrt(np.mean(alias**2))) < 0.01  # 6.5 kHz must not fold
+    assert len(resample(np.zeros(44100, np.float32), 44100, 16000)) == 16000
+    assert len(resample(np.zeros(0, np.float32), 8000, 16000)) == 0
+    assert np.array_equal(resample(x, 16000, 16000), x)
+
+
+def test_with_trim_reencode_substring_and_nulls(spark):
+    """pcm16 re-encoded slice is byte-identical to the payload substring
+    b[2*lead : 2*(lead+kept)]; all-silent clips emit EMPTY bytes; ulaw
+    re-encode is idempotent on its own decode; NULL/unknown rows NULL."""
+    from qcflow.udfs import trim_bounds, with_trim_reencode
+
+    rng = np.random.default_rng(83)
+    sr, fl = 8000, 160
+    rows = []
+    tone = 0.3 * np.sin(2 * np.pi * 500.0 * np.arange(10 * fl) / sr)
+    x = np.concatenate(
+        [rng.normal(0.0, 0.0005, 4 * fl), tone, rng.normal(0.0, 0.0005, 6 * fl)]
+    ).astype(np.float32)
+    b_pcm = audio.pcm16_encode(x)
+    b_ulaw = audio.ulaw_encode(x)
+    rows.append((0, bytearray(b_pcm), "pcm16", sr))
+    rows.append((1, bytearray(b_ulaw), "ulaw", sr))
+    silent = rng.normal(0.0, 0.0005, 5 * fl).astype(np.float32)
+    rows.append((2, bytearray(audio.pcm16_encode(silent)), "pcm16", sr))
+    rows.append((3, None, "pcm16", sr))
+    rows.append((4, bytearray(b"\x00"), "mp3", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {r["clip_id"]: r for r in with_trim_reencode(df).collect()}
+    s, e = trim_bounds(audio.pcm16_decode(b_pcm), sr)
+    assert bytes(got[0]["trim_bytes"]) == b_pcm[2 * s : 2 * e]  # substring
+    assert got[0]["trim_samples"] == e - s and got[0]["lead_samples"] == s
+    su, eu = trim_bounds(audio.ulaw_decode(b_ulaw), sr)
+    assert bytes(got[1]["trim_bytes"]) == b_ulaw[su:eu]  # ulaw idempotent
+    assert bytes(got[2]["trim_bytes"]) == b"" and got[2]["trim_samples"] == 0
+    for cid in (3, 4):
+        assert got[cid]["trim_bytes"] is None
+        assert got[cid]["trim_samples"] is None
+
+
+def test_with_resample_lengths_content_and_nulls(spark):
+    """rs_samples = floor(n * target / sr) for every valid rate; the
+    executor-side bytes equal the driver-side kernel's bytes exactly;
+    NULL/unknown rows NULL; bad target_sr raises."""
+    import pytest as _pytest
+
+    from qcflow.udfs import with_resample
+
+    rng = np.random.default_rng(84)
+    rows, want = [], {}
+    for i, sr in enumerate(audio.VALID_SR):
+        n = int(sr * 0.3)
+        t = np.arange(n) / sr
+        x = (
+            0.3 * np.sin(2 * np.pi * 800.0 * t)
+            + rng.normal(0.0, 0.01, n)
+        ).astype(np.float32)
+        x = np.clip(x, -0.999, 0.999)
+        b = audio.pcm16_encode(x)
+        rows.append((i, bytearray(b), "pcm16", sr))
+        y = audio.resample(audio.pcm16_decode(b), sr, 16000)
+        want[i] = (audio.pcm16_encode(y), len(y))
+        assert len(y) == n * 16000 // sr
+    rows.append((90, None, "pcm16", 8000))
+    rows.append((91, bytearray(b"\x01\x02"), "aac", 8000))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {r["clip_id"]: r for r in with_resample(df, 16000).collect()}
+    for i, (wb, wn) in want.items():
+        assert bytes(got[i]["rs_bytes"]) == wb and got[i]["rs_samples"] == wn
+    assert got[90]["rs_bytes"] is None and got[91]["rs_samples"] is None
+    with _pytest.raises(ValueError):
+        with_resample(df, 11025)

@@ -374,3 +374,35 @@ def test_audio_fp_band_join_is_hash_join(spark):
     assert "NestedLoop" not in p and "Cartesian" not in p, p
     join_on = p[p.index("Join") :][:400] if "Join" in p else p
     assert "bytes" not in join_on, join_on
+
+
+def test_trim_reencode_and_resample_are_map_only(spark):
+    """The trim-re-encode and resample-to-16k paths are single-Arrow-
+    crossing map jobs: no Exchange anywhere (bytes never shuffle), one
+    Python evaluation node, and the md5 reduction runs JVM-side so the
+    binary column never crosses back into Python."""
+    for name in (
+        "audio_trim_reencode",
+        "audio_resample_16k",
+        "audio_trim_silence",
+        "audio_loudness_normalize",
+    ):
+        p = plan_of(QUERIES[name](spark, SF))
+        assert "Exchange" not in p, (name, p)
+        # node headers render as "ArrowEvalPython (N)" in the tree —
+        # exactly ONE Python crossing, and it must be the Arrow one.
+        # (Filtering on the UDF's own output instead of the scan columns
+        # lets predicate pushdown CLONE the Python node: every clip
+        # would decode twice — see parity/audio_q.py _decodable.)
+        tree = p.split("\n\n")[0]
+        assert tree.count("ArrowEvalPython (") == 1, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+
+
+def test_audio_fp_single_decode_per_join_side(spark):
+    """The fingerprint near-dup self-join decodes each clip ONCE per
+    join branch (two ArrowEvalPython nodes total for the two sides) —
+    the earlier filter-on-UDF-output shape cloned the decode to four."""
+    p = plan_of(QUERIES["dedup_audio_fp"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython (") == 2, p
