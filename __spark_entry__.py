@@ -46,9 +46,13 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # four late-r5 ops dedup_chunk_exact / text_edit_distance_qc /
 # audio_loudness_normalize / audio_trim_silence; dedup_simhash_pairs
 # also rotated out — r4-attested, its banding machinery re-attested
-# through dedup_image_phash/dedup_audio_fp). After this rotation every registry name
-# has appeared in >=1 CORRECTNESS_r*.json or sits in the r5 window;
-# the rotated-out rows remain sweep-verified every round.
+# through dedup_image_phash/dedup_audio_fp; final r5:
+# mm_image_features / mm_video_frames out — r4-attested, unchanged,
+# the multimodal binary plumbing re-attested in-window through
+# dedup_image_phash — for audio_trim_reencode / audio_resample_16k).
+# After this rotation every registry name has appeared in >=1
+# CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
+# remain sweep-verified every round.
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",
@@ -60,6 +64,8 @@ GATE_ORDER = [
     "text_edit_distance_qc",
     "audio_loudness_normalize",
     "audio_trim_silence",
+    "audio_trim_reencode",
+    "audio_resample_16k",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -96,8 +102,6 @@ GATE_ORDER = [
     "ann_pq_train",
     "ann_ivfpq_residual_trained",
     "text_langid_heuristic",
-    "mm_image_features",
-    "mm_video_frames",
     "x_ks_drift_per_group",
     "x_hist_quantile_sketch",
 ]
