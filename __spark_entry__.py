@@ -49,7 +49,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # through dedup_image_phash/dedup_audio_fp; final r5:
 # mm_image_features / mm_video_frames out — r4-attested, unchanged,
 # the multimodal binary plumbing re-attested in-window through
-# dedup_image_phash — for audio_trim_reencode / audio_resample_16k).
+# dedup_image_phash — for audio_trim_reencode / audio_resample_16k;
+# ann_bruteforce_topk out — r4-attested, unchanged, six other ANN
+# rows stay in-window — for audio_snr_estimate).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -66,6 +68,7 @@ GATE_ORDER = [
     "audio_trim_silence",
     "audio_trim_reencode",
     "audio_resample_16k",
+    "audio_snr_estimate",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -94,7 +97,6 @@ GATE_ORDER = [
     "dedup_embedding_cosine",
     "dedup_resolve_clusters",
     "dedup_survivors",
-    "ann_bruteforce_topk",
     "ann_ivf_trained",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",

@@ -733,3 +733,101 @@ def audio_resample_16k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("rs_bytes")).alias("out_md5"),
         "rs_samples",
     )
+
+
+# ------------------------------------------- blind SNR estimate gate
+#
+# Construction truth for with_snr_estimate: tone bursts over a noise
+# bed at planted (amp, sigma) spanning clean -> buried regimes, plus
+# all-noise and undecodable rows; truth (noise_floor_db / speech_db /
+# snr_est_db) computed at build with the identical kernel on the
+# roundtripped bytes — index-exact order statistics make the doubles
+# bit-reproducible.
+
+N_SNREST = 200
+_SNREST_FIX = os.path.join(_DIR, "snrest_v1.parquet")
+
+
+def _materialize_snrest() -> None:
+    if os.path.exists(_SNREST_FIX):
+        return
+    from qcflow import audio
+    from qcflow.udfs import snr_estimate
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_SNREST):
+        rng = np.random.default_rng([515159, i])
+        sr = int(rng.choice([8000, 16000]))
+        fl = int(round(sr * 0.02))
+        n_fr = int(rng.integers(20, 60))
+        n = n_fr * fl
+        regime = i % 5
+        sigma = float(rng.uniform(0.001, 0.05))
+        noise = rng.normal(0.0, sigma, n)
+        if regime == 3:  # all-noise: low estimated SNR
+            x = noise
+        else:
+            # tone bursts over ~40% of frames -> speech level at p90
+            x = noise.copy()
+            t = np.arange(n) / sr
+            tone = float(rng.uniform(0.15, 0.5)) * np.sin(
+                2 * np.pi * float(rng.uniform(200, 2500)) * t
+            )
+            on = rng.random(n_fr) < 0.4
+            mask = np.repeat(on, fl)
+            x[mask] += tone[mask]
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "nf_t": None,
+            "sp_t": None,
+            "snr_t": None,
+            "decodable": regime != 4,
+        }
+        if regime == 4:
+            if (i // 5) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x10\x20", codec="ogg")
+        else:
+            b = _afp_encode(x, codec)
+            nf, sp, snr = snr_estimate(audio.decode(b, codec), sr)
+            row.update(bytes=b, codec=codec, nf_t=nf, sp_t=sp, snr_t=snr)
+        rows.append(row)
+    pd.DataFrame(rows).to_parquet(_SNREST_FIX, index=False)
+
+
+_materialize_snrest()
+
+
+@query(
+    "audio_snr_estimate",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           nf_t AS noise_floor_db,
+           sp_t AS speech_db,
+           snr_t AS snr_est_db
+    FROM '{_SNREST_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind per-clip SNR estimate recovered THROUGH the bytes: decode
+    -> 20 ms frame-RMS order statistics -> noise floor (p10) / speech
+    level (p90) / their dB gap, hash-compared bit-exactly against
+    build-time truth from the identical kernel. Map-only at any scale
+    (one Arrow crossing, decodability pre-filtered on scan columns);
+    the estimate is the reference-free twin of the snr_vs_synth
+    invariant and feeds quality filtering like the acoustic flags."""
+    from qcflow.udfs import with_snr_estimate
+
+    _materialize_snrest()
+    clips = spark.read.parquet(_SNREST_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return with_snr_estimate(_decodable(clips)).select(
+        "clip_id", "noise_floor_db", "speech_db", "snr_est_db"
+    )

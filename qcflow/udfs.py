@@ -464,6 +464,25 @@ def with_loudness(df: DataFrame) -> DataFrame:
     return out.select("*", "_l.rms", "_l.gain_db", "_l.clip_after").drop("_l")
 
 
+def _frame_rms(x32: np.ndarray, fl: int) -> list:
+    """Per-frame RMS on the frame grid of length ``fl`` (the sub-frame
+    tail counts as a partial frame). EXACTLY the arithmetic trim_bounds
+    shipped with — the trim construction-truth fixtures pin it, so any
+    refactor here must keep the reshape/mean/sqrt sequence
+    bit-identical."""
+    n = len(x32)
+    n_fr = n // fl
+    x = x32.astype(np.float64)
+    rmss = []
+    if n_fr:
+        fr = x[: n_fr * fl].reshape(n_fr, fl)
+        rmss = list(np.sqrt(np.mean(fr * fr, axis=1)))
+    if n - n_fr * fl:
+        tail = x[n_fr * fl :]
+        rmss.append(float(np.sqrt(np.mean(tail * tail))))
+    return rmss
+
+
 def trim_bounds(
     x32: np.ndarray,
     sr_eff: int,
@@ -482,15 +501,7 @@ def trim_bounds(
     if n == 0:
         return 0, 0
     fl = max(1, int(round(sr_eff * frame_ms / 1000.0)))
-    n_fr = n // fl
-    x = x32.astype(np.float64)
-    rmss = []
-    if n_fr:
-        fr = x[: n_fr * fl].reshape(n_fr, fl)
-        rmss = list(np.sqrt(np.mean(fr * fr, axis=1)))
-    if n - n_fr * fl:
-        tail = x[n_fr * fl :]
-        rmss.append(float(np.sqrt(np.mean(tail * tail))))
+    rmss = _frame_rms(x32, fl)
     voiced = [i for i, r in enumerate(rmss) if r >= thresh]
     if not voiced:
         return 0, 0
@@ -636,3 +647,73 @@ def with_resample(df: DataFrame, target_sr: int = 16000) -> DataFrame:
 
     out = df.withColumn("_rs", _udf(F.struct("bytes", "codec", "sr_hz")))
     return out.select("*", "_rs.rs_bytes", "_rs.rs_samples").drop("_rs")
+
+
+def snr_estimate(
+    x32: np.ndarray,
+    sr_eff: int,
+    frame_ms: float = SILENCE_FRAME_MS,
+    floor: float = 1e-7,
+) -> tuple[float, float, float]:
+    """Blind per-clip SNR estimate from frame-RMS order statistics
+    (the standard VAD-free two-level model: speech frames sit in the
+    upper tail of the 20 ms RMS distribution, the noise floor in the
+    lower): noise = the index-exact 10th-percentile frame RMS, speech =
+    the 90th, both in dBFS, and snr_est_db = speech_db - noise_db.
+    Index-exact order statistics (no interpolation) keep the outputs
+    bit-reproducible for the construction-truth gate; ``floor`` guards
+    log10(0) on digitally-silent frames (-140 dB). Returns
+    (noise_floor_db, speech_db, snr_est_db)."""
+    n = len(x32)
+    fl = max(1, int(round(sr_eff * frame_ms / 1000.0)))
+    if n == 0:
+        db = 20.0 * float(np.log10(floor))
+        return db, db, 0.0
+    r = sorted(_frame_rms(x32, fl))
+    k = len(r)
+    lo = max(float(r[int(0.1 * (k - 1))]), floor)
+    hi = max(float(r[int(0.9 * (k - 1))]), floor)
+    noise_db = 20.0 * float(np.log10(lo))
+    speech_db = 20.0 * float(np.log10(hi))
+    return noise_db, speech_db, speech_db - noise_db
+
+
+def with_snr_estimate(df: DataFrame) -> DataFrame:
+    """Blind SNR estimate per clip: decode -> frame-RMS order stats ->
+    (noise_floor_db, speech_db, snr_est_db). Map-only, one Arrow
+    crossing, bytes never leave the scan task; NULL bytes / unknown
+    codec / undecodable payloads yield NULLs (row-level guard). The
+    estimate feeds quality filtering the same way the acoustic flags
+    do — low snr_est_db = noisy capture, high noise floor = hum/hiss —
+    without needing the clean reference the snr_vs_synth invariant
+    uses."""
+
+    @F.pandas_udf("noise_floor_db double, speech_db double, snr_est_db double")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nf = np.full(len(pdf), np.nan)
+            sp = np.full(len(pdf), np.nan)
+            sn = np.full(len(pdf), np.nan)
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                nf[i], sp[i], sn[i] = snr_estimate(x, sr_eff)
+            yield pd.DataFrame(
+                {"noise_floor_db": nf, "speech_db": sp, "snr_est_db": sn}
+            )
+
+    out = df.withColumn("_se", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select(
+        "*", "_se.noise_floor_db", "_se.speech_db", "_se.snr_est_db"
+    ).drop("_se")

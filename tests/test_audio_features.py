@@ -401,3 +401,38 @@ def test_with_resample_lengths_content_and_nulls(spark):
     assert got[90]["rs_bytes"] is None and got[91]["rs_samples"] is None
     with _pytest.raises(ValueError):
         with_resample(df, 11025)
+
+
+def test_with_snr_estimate_regimes_and_nulls(spark):
+    """Clean tone bursts score a much higher blind SNR than the same
+    bursts buried in heavy noise; pure noise scores near 0 dB; NULL /
+    unknown-codec rows NULL out; empty clips hit the -140 dB floor."""
+    from qcflow.udfs import snr_estimate, with_snr_estimate
+
+    rng = np.random.default_rng(85)
+    sr, fl, n_fr = 8000, 160, 40
+    n = n_fr * fl
+    t = np.arange(n) / sr
+    tone = 0.4 * np.sin(2 * np.pi * 700.0 * t)
+    on = np.repeat(rng.random(n_fr) < 0.4, fl)
+    rows = []
+    for cid, sigma in ((0, 0.002), (1, 0.1)):
+        x = rng.normal(0.0, sigma, n)
+        x[on] += tone[on]
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        rows.append((cid, bytearray(audio.pcm16_encode(x)), "pcm16", sr))
+    noise = np.clip(rng.normal(0.0, 0.05, n), -0.999, 0.999).astype(np.float32)
+    rows.append((2, bytearray(audio.pcm16_encode(noise)), "pcm16", sr))
+    rows.append((90, None, "pcm16", sr))
+    rows.append((91, bytearray(b"\x01"), "ogg", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    got = {r["clip_id"]: r for r in with_snr_estimate(df).collect()}
+    assert got[0]["snr_est_db"] > 25.0  # clean
+    assert got[1]["snr_est_db"] < got[0]["snr_est_db"] - 10.0  # buried
+    assert got[2]["snr_est_db"] < 6.0  # pure noise: narrow RMS spread
+    assert got[1]["noise_floor_db"] > got[0]["noise_floor_db"]  # hotter floor
+    assert got[90]["snr_est_db"] is None and got[91]["noise_floor_db"] is None
+    nf, sp, sn = snr_estimate(np.zeros(0, dtype=np.float32), sr)
+    assert nf == sp == 20.0 * np.log10(1e-7) and sn == 0.0
