@@ -51,7 +51,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # the multimodal binary plumbing re-attested in-window through
 # dedup_image_phash — for audio_trim_reencode / audio_resample_16k;
 # ann_bruteforce_topk out — r4-attested, unchanged, six other ANN
-# rows stay in-window — for audio_snr_estimate).
+# rows stay in-window — for audio_snr_estimate; dedup_embedding_cosine
+# out — r3-attested, five dedup rows stay — for the composed
+# audio_normalize_pipeline).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -69,6 +71,7 @@ GATE_ORDER = [
     "audio_trim_reencode",
     "audio_resample_16k",
     "audio_snr_estimate",
+    "audio_normalize_pipeline",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -94,7 +97,6 @@ GATE_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_resolve_clusters",
     "dedup_survivors",
     "ann_ivf_trained",

@@ -125,6 +125,23 @@ def main() -> int:
     ac_sec = _timed_decode(check_acoustics=True)
     queries["qc_pipeline_acoustic"] = round(ac_sec, 3)
 
+    # composed normalization stage (decode once -> trim -> windowed-sinc
+    # resample to 16 kHz -> loudness gain -> pcm16) on the same 10k
+    # slice: the heaviest per-clip kernel in the engine (O(n_out * 32)
+    # taps) — min-of-2 like every decode-crossing key. F.length forces
+    # the produced payload to materialize under the noop sink.
+    from qcflow.pipeline import normalize_clips
+
+    nz_sec = None
+    for _rep in range(2):
+        t0 = time.time()
+        normalize_clips(slice_).select(
+            "clip_id", F.length("bytes").alias("n_bytes"), "gain_db"
+        ).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        nz_sec = sec if nz_sec is None or sec < nz_sec else nz_sec
+    queries["audio_normalize_10k"] = round(nz_sec, 3)
+
     # resumable checkpoint path: the same 60k clips written as 4 snapshot
     # increments of 16 buckets each (thresholds derived once up front,
     # per-(snapshot,bucket) metric partials, lineage-as-commit-log) — the
@@ -278,6 +295,7 @@ def main() -> int:
                 "n_kept": counts["n_kept"],
                 "pcm_clips_per_sec": round(pcm_rows / pcm_sec, 1),
                 "acoustic_clips_per_sec": round(pcm_rows / ac_sec, 1),
+                "normalize_clips_per_sec": round(pcm_rows / nz_sec, 1),
                 "cpus": cpus,
             }
         )

@@ -193,6 +193,41 @@ def fp_hamming(a: int, b: int) -> int:
 
 RS_HALF = 16  # 32-tap windowed-sinc interpolation kernel
 
+# polyphase tap bank per (sr_in, sr_out, half): the fractional tap
+# phase (m*sr_in mod sr_out)/sr_out repeats with period
+# L = sr_out / gcd(sr_in, sr_out) (L <= 320 for every VALID_SR pair),
+# so the windowed-sinc rows are computed ONCE per rate pair per
+# process instead of per output sample — measured ~20x on the bench's
+# normalize stage. The bank rows are produced by the IDENTICAL
+# expressions on the IDENTICAL float64 phase values the inline path
+# used, so outputs stay bit-identical (the md5 construction-truth
+# gates pin this).
+_RS_BANK_MAX_L = 4096
+_RS_BANK: dict = {}
+
+
+def _rs_bank(sr_in: int, sr_out: int, half: int):
+    import math
+
+    key = (sr_in, sr_out, half)
+    bank = _RS_BANK.get(key)
+    if bank is None:
+        g = math.gcd(sr_in, sr_out)
+        L = sr_out // g
+        if L > _RS_BANK_MAX_L:
+            return None  # degenerate ratio: fall back to inline taps
+        fc = min(1.0, sr_out / sr_in)
+        offs = np.arange(-half + 1, half + 1, dtype=np.int64)
+        rem = (np.arange(L, dtype=np.int64) * g).astype(np.float64)
+        frac = rem / sr_out
+        u = offs[None, :].astype(np.float64) - frac[:, None]
+        w = 0.5 + 0.5 * np.cos(np.pi * u / half)
+        h = fc * np.sinc(fc * u) * w
+        h /= h.sum(axis=1, keepdims=True)
+        bank = (g, h)
+        _RS_BANK[key] = bank
+    return bank
+
 
 def resample(
     x: np.ndarray,
@@ -223,16 +258,21 @@ def resample(
     xi = np.pad(x.astype(np.float64), (half, half))
     fc = min(1.0, sr_out / sr_in)
     offs = np.arange(-half + 1, half + 1, dtype=np.int64)  # 2*half taps
+    bank = _rs_bank(sr_in, sr_out, half)
     out = np.empty(n_out, dtype=np.float64)
     for s in range(0, n_out, block):
         e = min(s + block, n_out)
         num = np.arange(s, e, dtype=np.int64) * sr_in
         k0 = num // sr_out
-        frac = (num - k0 * sr_out).astype(np.float64) / sr_out
-        u = offs[None, :].astype(np.float64) - frac[:, None]
-        w = 0.5 + 0.5 * np.cos(np.pi * u / half)  # |u| <= half by range
-        h = fc * np.sinc(fc * u) * w
-        h /= h.sum(axis=1, keepdims=True)
+        if bank is not None:
+            g, hb = bank
+            h = hb[(num - k0 * sr_out) // g]
+        else:
+            frac = (num - k0 * sr_out).astype(np.float64) / sr_out
+            u = offs[None, :].astype(np.float64) - frac[:, None]
+            w = 0.5 + 0.5 * np.cos(np.pi * u / half)  # |u| <= half
+            h = fc * np.sinc(fc * u) * w
+            h = h / h.sum(axis=1, keepdims=True)
         idx = k0[:, None] + offs[None, :] + half
         out[s:e] = (xi[idx] * h).sum(axis=1)
     return np.clip(out, -1.0, 1.0).astype(np.float32)

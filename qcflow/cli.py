@@ -10,6 +10,10 @@ decide; ship the package with ``--py-files qcflow.zip``):
   python -m qcflow.cli stream --in /data/landing --out /tmp/qcs \
       --calib /tmp/qc [--dedup-within '10 minutes'] [--check-acoustics] \
       [--compact]   # availableNow drain; rerun/schedule for continuous
+  python -m qcflow.cli normalize --clips /tmp/clips/clips.parquet \
+      --out /tmp/norm [--target-sr 16000] [--no-trim] [--no-gain]
+      # emits a valid clips table: trim + resample + loudness in ONE
+      # decode pass; feed /tmp/norm/normalized.parquet back into `run`
 
 Prints one JSON line with counts + timings.
 """
@@ -62,6 +66,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dedup-within", default=None, metavar="DURATION")
     s.add_argument("--check-acoustics", action="store_true")
     s.add_argument("--compact", action="store_true")
+
+    n = sub.add_parser(
+        "normalize",
+        help="audio normalization stage: trim silence, resample to one "
+        "rate, loudness-normalize — emits a valid clips table that "
+        "feeds straight back into `run` / `stream`",
+    )
+    n.add_argument("--clips", required=True)
+    n.add_argument("--out", required=True)
+    n.add_argument("--target-sr", type=int, default=16000)
+    n.add_argument("--no-trim", action="store_true")
+    n.add_argument("--no-gain", action="store_true")
+    n.add_argument("--cpus", type=int, default=None)
+    n.add_argument("--partitions", type=int, default=None)
 
     i = sub.add_parser(
         "inspect", help="manifest summary: snapshot history + committed counts"
@@ -122,6 +140,45 @@ def main(argv: list[str] | None = None) -> int:
             "n_input": n_in,
             "n_kept": n_kept,
             "thresholds": thr.__dict__,
+        }
+    elif args.cmd == "normalize":
+        from pyspark.sql import functions as F
+
+        from qcflow.pipeline import normalize_clips
+
+        clips = spark.read.parquet(args.clips)
+        n_input = clips.count()
+        ndf = normalize_clips(
+            clips,
+            target_sr=args.target_sr,
+            trim=not args.no_trim,
+            gain=not args.no_gain,
+        )
+        if args.partitions:
+            ndf = ndf.repartition(args.partitions)
+        dest = f"{args.out}/normalized.parquet"
+        ndf.write.mode("overwrite").parquet(dest)
+        # summary from the WRITTEN table: pruned-column scan (no bytes,
+        # no re-decode), one aggregation
+        agg = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count("*").alias("n_out"),
+                F.sum(F.col("bytes").isNull().cast("long")).alias("n_fail"),
+                F.avg("gain_db").alias("avg_gain_db"),
+                F.avg(F.col("clip_after").cast("double")).alias("clip_rate"),
+            )
+            .collect()[0]
+        )
+        out = {
+            "cmd": "normalize",
+            "n_input": n_input,
+            "n_normalized": int(agg["n_out"]) - int(agg["n_fail"] or 0),
+            "n_undecodable": n_input - int(agg["n_out"]) + int(agg["n_fail"] or 0),
+            "avg_gain_db": round(float(agg["avg_gain_db"] or 0.0), 3),
+            "clip_after_rate": round(float(agg["clip_rate"] or 0.0), 5),
+            "target_sr": args.target_sr,
+            "out": dest,
         }
     elif args.cmd == "gen":
         from qcflow.synth import generate_clips

@@ -831,3 +831,125 @@ def audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_snr_estimate(_decodable(clips)).select(
         "clip_id", "noise_floor_db", "speech_db", "snr_est_db"
     )
+
+
+# ------------------------------------------- composed normalize gate
+#
+# Construction truth for the COMPOSED normalization chain
+# (with_normalize: decode once -> trim -> resample to 16 kHz ->
+# loudness gain -> pcm16): clips at every valid rate with frame-aligned
+# pads around tone bursts at hot/quiet levels, plus all-silent and
+# undecodable regimes; truth = md5 + length of the final payload plus
+# gain_db / clip_after, computed at build with the identical kernel
+# chain on the roundtripped bytes. A md5 match here certifies the whole
+# composition, not just each stage.
+
+N_NORM = 200
+_NORM_FIX = os.path.join(_DIR, "norm_v1.parquet")
+_NORM_TARGET = 16000
+
+
+def _materialize_norm() -> None:
+    if os.path.exists(_NORM_FIX):
+        return
+    import hashlib
+
+    from qcflow import audio
+    from qcflow.udfs import trim_bounds
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_NORM):
+        rng = np.random.default_rng([515160, i])
+        sr = int(audio.VALID_SR[i % len(audio.VALID_SR)])
+        fl = max(1, int(round(sr * 0.02)))
+        regime = i % 5
+        lead_fr = int(rng.integers(0, 12))
+        trail_fr = int(rng.integers(0, 12))
+        voiced_fr = int(rng.integers(10, 30))
+        pad = lambda k: rng.normal(0.0, 0.0005, k * fl)  # noqa: E731
+        t = np.arange(voiced_fr * fl) / sr
+        # hot (attenuate), mid (amplify), quiet (gain cap) levels cycle
+        amp = (0.7, 0.05, 0.004)[i % 3]
+        tone = amp * np.sin(2 * np.pi * float(rng.uniform(200, 3400)) * t)
+        if regime == 3:  # all silent -> empty normalized payload
+            x = pad(lead_fr + voiced_fr + trail_fr)
+        else:
+            x = np.concatenate([pad(lead_fr), tone, pad(trail_fr)])
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        row = {
+            "clip_id": i,
+            "sr_hz": sr,
+            "out_md5": None,
+            "out_n": None,
+            "gain_db_t": None,
+            "clip_after_t": None,
+            "decodable": regime != 4,
+        }
+        if regime == 4:
+            if (i // 5) % 2 == 0:
+                row.update(bytes=None, codec=codec)
+            else:
+                row.update(bytes=b"\x05\x06", codec="wma")
+        else:
+            b = _afp_encode(x, codec)
+            dec = audio.decode(b, codec)
+            s, e = trim_bounds(dec, sr)
+            y = audio.resample(dec[s:e], sr, _NORM_TARGET)
+            g_db, clipped = 0.0, False
+            if len(y):
+                _, g_db, clipped = audio.loudness_gain(y)
+                y = np.clip(
+                    y * (10.0 ** (g_db / 20.0)), -1.0, 1.0
+                ).astype(np.float32)
+            out = audio.pcm16_encode(y)
+            row.update(
+                bytes=b, codec=codec,
+                out_md5=hashlib.md5(out).hexdigest(), out_n=len(y),
+                gain_db_t=g_db, clip_after_t=clipped,
+            )
+        rows.append(row)
+    pdf = pd.DataFrame(rows)
+    pdf["out_n"] = pdf["out_n"].astype("Int64")
+    pdf["clip_after_t"] = pdf["clip_after_t"].astype("boolean")
+    pdf.to_parquet(_NORM_FIX, index=False)
+
+
+_materialize_norm()
+
+
+@query(
+    "audio_normalize_pipeline",
+    oracle=f"""
+    SELECT CAST(clip_id AS BIGINT) AS clip_id,
+           out_md5,
+           CAST(out_n AS BIGINT) AS norm_samples,
+           gain_db_t AS gain_db,
+           clip_after_t AS clip_after
+    FROM '{_NORM_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED normalization stage recovered THROUGH the bytes in
+    one decode pass: trim -> resample-to-16k -> loudness gain -> pcm16,
+    the final payload's md5 + length + gain/clip flags hash-compared
+    bit-exactly against build-time truth from the identical chain
+    (qcflow/udfs.py with_normalize — the kernel the `qcflow.cli
+    normalize` stage runs). Map-only at any scale; md5 JVM-side;
+    undecodable rows excluded via the truth flag (scan-column
+    pre-filter, unit-tested row guard)."""
+    from qcflow.udfs import with_normalize
+
+    _materialize_norm()
+    clips = spark.read.parquet(_NORM_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return with_normalize(_decodable(clips), target_sr=_NORM_TARGET).select(
+        "clip_id",
+        F.md5(F.col("norm_bytes")).alias("out_md5"),
+        F.col("norm_samples"),
+        "gain_db",
+        "clip_after",
+    )

@@ -302,3 +302,46 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         lin.agg(F.sum("n_input").alias("n"), F.sum("n_kept").alias("kept")).collect()[0]
     )
     return {"n_input": int(counts["n"] or 0), "n_kept": int(counts["kept"] or 0)}
+
+
+def normalize_clips(
+    clips: DataFrame,
+    target_sr: int = 16000,
+    trim: bool = True,
+    gain: bool = True,
+) -> DataFrame:
+    """Audio-normalization stage producing a VALID clips table: every
+    decodable row is re-emitted with ``bytes`` = the trimmed, resampled
+    (``target_sr``), loudness-normalized pcm16 payload, ``codec`` =
+    'pcm16', ``sr_hz`` = target_sr and ``dur_ms`` recomputed — so the
+    output parquet feeds straight back into score_clips / the stream /
+    downstream models. All other input columns pass through unchanged;
+    ``gain_db`` / ``clip_after`` / ``lead_samples`` ride along for
+    metrics. Input rows with NULL bytes or an unknown codec are
+    filtered at the SCAN (never decoded — filtering on the UDF output
+    would clone the Arrow node, CLAUDE.md r5); rows whose payload fails
+    decode despite a known codec keep NULL bytes in the output for
+    lineage and are cheap to drop downstream. Map-only: one Arrow
+    crossing, no shuffle at any scale."""
+    from qcflow import audio
+    from qcflow.udfs import with_normalize
+
+    decodable = clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    carried = [
+        c for c in clips.columns if c not in ("bytes", "codec", "sr_hz", "dur_ms")
+    ]
+    ndf = with_normalize(decodable, target_sr=target_sr, trim=trim, gain=gain)
+    return ndf.select(
+        *carried,
+        F.col("norm_bytes").alias("bytes"),
+        F.lit("pcm16").alias("codec"),
+        F.lit(target_sr).alias("sr_hz"),
+        F.round(F.col("norm_samples") * 1000.0 / F.lit(target_sr))
+        .cast("int")
+        .alias("dur_ms"),
+        "gain_db",
+        "clip_after",
+        "lead_samples",
+    )

@@ -717,3 +717,82 @@ def with_snr_estimate(df: DataFrame) -> DataFrame:
     return out.select(
         "*", "_se.noise_floor_db", "_se.speech_db", "_se.snr_est_db"
     ).drop("_se")
+
+
+def with_normalize(
+    df: DataFrame,
+    target_sr: int = 16000,
+    trim: bool = True,
+    gain: bool = True,
+) -> DataFrame:
+    """The composed audio-normalization stage: decode ONCE ->
+    [trim silence] -> resample to ``target_sr`` -> [loudness gain,
+    clipped to full scale] -> pcm16 encode. One Arrow crossing for the
+    whole chain — running the standalone ops back to back would decode
+    (and re-encode) per step; this is the production shape. Emits
+    ``norm_bytes`` (pcm16 @ target_sr), ``norm_samples``,
+    ``lead_samples`` (trimmed lead at the INPUT rate; 0 when trim is
+    off), ``gain_db`` (0.0 when gain is off) and ``clip_after`` (the
+    pre-clip peak would have exceeded full scale — routed to np.clip
+    here, a limiter in a real chain). NULL bytes / unknown codec /
+    undecodable payloads yield NULLs; all-silent clips with trim on
+    emit empty payloads. The construction-truth gate compares md5 of
+    the bytes against the identical chain run at fixture build."""
+    if target_sr not in audio.VALID_SR:
+        raise ValueError(f"target_sr {target_sr} not in {audio.VALID_SR}")
+
+    @F.pandas_udf(
+        "norm_bytes binary, norm_samples long, lead_samples long, "
+        "gain_db double, clip_after boolean"
+    )
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_b: list = [None] * len(pdf)
+            n_out = pd.array([None] * len(pdf), dtype="Int64")
+            lead = pd.array([None] * len(pdf), dtype="Int64")
+            gdb = np.full(len(pdf), np.nan)
+            clip = pd.array([None] * len(pdf), dtype="boolean")
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                s, e = trim_bounds(x, sr_eff) if trim else (0, len(x))
+                y = audio.resample(x[s:e], sr_eff, target_sr)
+                g_db, clipped = 0.0, False
+                if gain and len(y):
+                    _, g_db, clipped = audio.loudness_gain(y)
+                    y = np.clip(
+                        y * (10.0 ** (g_db / 20.0)), -1.0, 1.0
+                    ).astype(np.float32)
+                out_b[i] = audio.pcm16_encode(y)
+                n_out[i], lead[i] = len(y), s
+                gdb[i], clip[i] = g_db, clipped
+            yield pd.DataFrame(
+                {
+                    "norm_bytes": pd.Series(out_b, dtype=object),
+                    "norm_samples": n_out,
+                    "lead_samples": lead,
+                    "gain_db": gdb,
+                    "clip_after": clip,
+                }
+            )
+
+    out = df.withColumn("_nz", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select(
+        "*",
+        "_nz.norm_bytes",
+        "_nz.norm_samples",
+        "_nz.lead_samples",
+        "_nz.gain_db",
+        "_nz.clip_after",
+    ).drop("_nz")

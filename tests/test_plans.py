@@ -387,6 +387,7 @@ def test_trim_reencode_and_resample_are_map_only(spark):
         "audio_trim_silence",
         "audio_loudness_normalize",
         "audio_snr_estimate",
+        "audio_normalize_pipeline",
     ):
         p = plan_of(QUERIES[name](spark, SF))
         assert "Exchange" not in p, (name, p)
