@@ -53,7 +53,12 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # ann_bruteforce_topk out — r4-attested, unchanged, six other ANN
 # rows stay in-window — for audio_snr_estimate; dedup_embedding_cosine
 # out — r3-attested, five dedup rows stay — for the composed
-# audio_normalize_pipeline).
+# audio_normalize_pipeline; continuation: dedup_exact /
+# text_langid_heuristic / x_hist_quantile_sketch out — all r4-attested,
+# unchanged, their families keep in-window representatives — for the
+# three new ops x_tokenizer_vocab / audio_segment_chunks /
+# audio_label_conflict; x_ks_drift_per_group out — r4-attested,
+# unchanged — for the new x_rank_calibrated_trim).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -72,6 +77,9 @@ GATE_ORDER = [
     "audio_resample_16k",
     "audio_snr_estimate",
     "audio_normalize_pipeline",
+    "audio_segment_chunks",
+    "audio_label_conflict",
+    "x_tokenizer_vocab",
     "text_decontaminate",
     "x_domain_mix",
     "f_json_extract",
@@ -94,7 +102,6 @@ GATE_ORDER = [
     "pmis_qc_pipeline",
     "audio_quality_flags",
     "stream_exactly_once_qc",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_resolve_clusters",
@@ -105,9 +112,7 @@ GATE_ORDER = [
     "ann_ivfpq_residual_topk",
     "ann_pq_train",
     "ann_ivfpq_residual_trained",
-    "text_langid_heuristic",
-    "x_ks_drift_per_group",
-    "x_hist_quantile_sketch",
+    "x_rank_calibrated_trim",
 ]
 
 # the driver's CORRECTNESS artifact records exactly the first 50

@@ -311,3 +311,29 @@ def loudness_gain(
     rms = float(np.sqrt(acc / n))
     gain = max_gain if rms == 0.0 else min(target_rms / rms, max_gain)
     return rms, 20.0 * float(np.log10(gain)), bool(peak * gain > 1.0)
+
+
+# ----------------------------------------------- fixed-window segmentation
+
+SEG_WIN_MS = 400  # training-segment window
+SEG_MIN_TAIL_FRAC = 0.5  # keep a trailing partial segment iff >= half a window
+
+
+def segment_bounds(
+    n: int, win_n: int, min_tail_frac: float = SEG_MIN_TAIL_FRAC
+) -> list[tuple[int, int]]:
+    """Fixed-window segmentation bounds over an ``n``-sample clip:
+    consecutive [start, end) windows of ``win_n`` samples; the trailing
+    partial window is kept (at its true length) iff it holds at least
+    ``ceil(win_n * min_tail_frac)`` samples, else dropped. Pure integer
+    arithmetic — the construction-truth gate compares segment payloads
+    byte-exactly, so the bounds must be identical on any host."""
+    if win_n <= 0:
+        raise ValueError(f"win_n must be positive, got {win_n}")
+    import math
+
+    min_keep = max(1, math.ceil(win_n * min_tail_frac))
+    bounds = [(s, min(n, s + win_n)) for s in range(0, n, win_n)]
+    if bounds and (bounds[-1][1] - bounds[-1][0]) < min_keep:
+        bounds.pop()
+    return bounds

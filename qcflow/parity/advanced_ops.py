@@ -887,3 +887,44 @@ def x_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .applyInPandas(pack, "doc_id long, grp int, pack_id int, n_tok int")
     )
+
+
+@query(
+    "x_rank_calibrated_trim",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_g
+      FROM documents)
+    SELECT doc_id, lang,
+           (rn <= CAST(FLOOR(n_g * 0.05) AS BIGINT)
+            OR rn > n_g - CAST(FLOOR(n_g * 0.05) AS BIGINT)) AS trim_flag
+    FROM r
+    """,
+)
+def x_rank_calibrated_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP rank-quota outlier trim: flag each language's shortest
+    and longest 5% of documents — group-calibrated QC where the cut
+    adapts to each language's own distribution (speech/text lengths are
+    language-dependent; a global band mis-trims the tails of small
+    languages). Integer-exact by construction: the quota is
+    floor(0.05 * n_g) ranks per tail, so both engines compare integers —
+    no percentile-interpolation float edge to drift on. Scale shape: one
+    hash Exchange on lang + an in-partition sort; a hot language makes
+    this the documented grouped-sort skew victim — at bench scale swap
+    the exact rank for the mergeable histogram-sketch ranks
+    (x_hist_quantile_sketch machinery), keeping this exact tier for
+    correctness mode, the same exact-vs-sketch contract as
+    rules.derive_thresholds."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    docs = t(spark, sf_dir, "documents")
+    k = F.floor(F.count("*").over(Window.partitionBy("lang")) * 0.05)
+    n_g = F.count("*").over(Window.partitionBy("lang"))
+    rn = F.row_number().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((rn <= k) | (rn > n_g - k)).alias("trim_flag"),
+    )

@@ -953,3 +953,288 @@ def audio_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain_db",
         "clip_after",
     )
+
+
+# ------------------------------------------- fixed-window segmentation
+#
+# Construction truth for udfs.segment_clips (the audio twin of sequence
+# packing): clip lengths are CONSTRUCTED around the window boundary —
+# n = k*win_n + rem with rem cycling {0, min_keep-1, min_keep, win_n-1}
+# — so the keep/drop rule for the trailing partial segment is exercised
+# exactly at its edges. Truth = one row per EXPECTED segment
+# (clip_id, seg_idx, n_samples, md5 of the pcm16 payload), computed at
+# build time with the identical kernel chain (encode -> decode ->
+# segment_bounds -> slice -> pcm16_encode) on the roundtripped bytes.
+# Undecodable rows (NULL bytes / unknown codec) get no truth rows and
+# must produce no output rows.
+
+N_SEG = 180
+_SEG_FIX = os.path.join(_DIR, "segclips_v1.parquet")
+_SEG_TRUTH = os.path.join(_DIR, "segtruth_v1.parquet")
+_SEG_WIN_MS = 400
+
+
+def _materialize_seg() -> None:
+    if os.path.exists(_SEG_FIX) and os.path.exists(_SEG_TRUTH):
+        return
+    import hashlib
+    import math
+
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for i in range(N_SEG):
+        rng = np.random.default_rng([515160, i])
+        sr = int(rng.choice([8000, 16000]))
+        win_n = int(round(sr * _SEG_WIN_MS / 1000.0))
+        min_keep = max(1, math.ceil(win_n * audio.SEG_MIN_TAIL_FRAC))
+        k = int(rng.integers(1, 6))
+        rem = (0, min_keep - 1, min_keep, win_n - 1)[i % 4]
+        n = k * win_n + rem
+        t = np.arange(n) / sr
+        x = 0.35 * np.sin(2 * np.pi * float(rng.uniform(150.0, 2600.0)) * t)
+        x += rng.normal(0.0, 0.01, n)
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        if i % 6 == 5:  # undecodable regime: no truth rows
+            if (i // 6) % 2 == 0:
+                rows.append(
+                    {"clip_id": i, "bytes": None, "sr_hz": sr, "codec": codec}
+                )
+            else:
+                rows.append(
+                    {"clip_id": i, "bytes": b"\x00\x01", "sr_hz": sr, "codec": "mp3"}
+                )
+            continue
+        b = _afp_encode(x, codec)
+        dec = audio.decode(b, codec)
+        rows.append({"clip_id": i, "bytes": b, "sr_hz": sr, "codec": codec})
+        for si, (s, e) in enumerate(audio.segment_bounds(len(dec), win_n)):
+            truth.append(
+                {
+                    "clip_id": i,
+                    "seg_idx": si,
+                    "n_samples": e - s,
+                    "seg_md5": hashlib.md5(
+                        audio.pcm16_encode(dec[s:e])
+                    ).hexdigest(),
+                }
+            )
+    pd.DataFrame(rows).to_parquet(_SEG_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_SEG_TRUTH, index=False)
+
+
+_materialize_seg()
+
+
+@query(
+    "audio_segment_chunks",
+    oracle=f"""
+    SELECT clip_id, seg_idx, n_samples, seg_md5
+    FROM '{_SEG_TRUTH}'
+    """,
+)
+def audio_segment_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training segmentation recovered THROUGH the bytes:
+    decode -> integer-exact window bounds -> pcm16 segment payloads, one
+    output row per segment, md5-compared against build-time truth from
+    the identical kernel chain. Map-only at any scale (one Arrow
+    crossing, JVM-side generator, no shuffle); md5 computed JVM-side so
+    segment payloads never cross back to Python. Boundary semantics
+    (trailing partial kept iff >= half a window) are planted exactly at
+    the edge in the fixture; undecodable rows yield zero rows."""
+    from qcflow.udfs import segment_clips
+
+    _materialize_seg()
+    clips = spark.read.parquet(_SEG_FIX)
+    return segment_clips(clips, win_ms=_SEG_WIN_MS).select(
+        "clip_id",
+        "seg_idx",
+        "n_samples",
+        F.md5(F.col("seg_bytes")).alias("seg_md5"),
+    )
+
+
+# ------------------------------------------- label-noise (same audio,
+# different transcript)
+#
+# The QC composition on top of audio near-dup detection: when two clips'
+# AUDIO is a near-duplicate but their TRANSCRIPTS disagree, at least one
+# label is wrong — a real corpus routes the pair to review instead of
+# letting the deduper silently keep a mislabeled survivor. Fixture: 120
+# base clips, the first 60 get a near-dup copy via the dedup_audio_fp
+# backoff ladder (guaranteed Hamming <= 3); EVEN copies keep the same
+# transcript re-spelled (casing + extra whitespace — normalization must
+# erase it), ODD copies get one word substituted (a genuine conflict).
+# Truth column `conflict` is planted at build; Spark recovers the pairs
+# through the bytes and the verdict through the transcript strings.
+
+N_LC = 120
+N_LC_COPIES = 60
+_LC_OFF = 200_000
+_LC_FIX = os.path.join(_DIR, "labelconf_v1.parquet")
+_LC_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _lc_transcript(rng, n_words: int) -> str:
+    return " ".join(rng.choice(_LC_WORDS) for _ in range(n_words))
+
+
+def _materialize_lc() -> None:
+    if os.path.exists(_LC_FIX):
+        return
+    import random
+
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_LC):
+        rng = np.random.default_rng([515161, i])
+        wrng = random.Random(515162 + i)
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.4, 0.9)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3200.0), 3)):
+            x = x + rng.uniform(0.08, 0.2) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.01, n)).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        b = _afp_encode(x, codec)
+        base_fp = audio.audio_fp64(audio.decode(b, codec), sr)
+        words = [wrng.choice(_LC_WORDS) for _ in range(wrng.randint(4, 9))]
+        transcript = " ".join(words)
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "transcript": transcript,
+                "orig_id": None,
+                "conflict": None,
+            }
+        )
+        if i < N_LC_COPIES:
+            other = "ulaw" if codec == "pcm16" else "pcm16"
+            for cc, amp, gain in (
+                (other, 0.008, 0.8),
+                (codec, 0.008, 0.8),
+                (codec, 0.003, 1.0),
+                (codec, 0.0, 1.0),
+            ):
+                nrng = np.random.default_rng([515163, i])
+                cp = gain * x + (nrng.normal(0.0, amp, n) if amp > 0 else 0.0)
+                cb = b if (cc == codec and amp == 0.0 and gain == 1.0) else _afp_encode(
+                    cp.astype(np.float32), cc
+                )
+                if (
+                    audio.fp_hamming(
+                        base_fp, audio.audio_fp64(audio.decode(cb, cc), sr)
+                    )
+                    <= _AFP_HAM_MAX
+                ):
+                    break
+            conflict = bool(i % 2)
+            if conflict:  # substitute one word -> normalized strings differ
+                cw = list(words)
+                j = wrng.randrange(len(cw))
+                cw[j] = next(w for w in _LC_WORDS if w != cw[j])
+                ct = " ".join(cw)
+            else:  # same words, different spelling: casing + extra spaces
+                ct = "  ".join(w.upper() if k % 2 else w for k, w in enumerate(words))
+            rows.append(
+                {
+                    "clip_id": i + _LC_OFF,
+                    "bytes": cb,
+                    "codec": cc,
+                    "sr_hz": sr,
+                    "transcript": ct,
+                    "orig_id": i,
+                    "conflict": conflict,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["orig_id"] = pdf["orig_id"].astype("Int64")
+    pdf.to_parquet(_LC_FIX, index=False)
+
+
+_materialize_lc()
+
+
+@query(
+    "audio_label_conflict",
+    oracle=f"""
+    SELECT CAST(orig_id AS BIGINT) AS id_a,
+           CAST(clip_id AS BIGINT) AS id_b,
+           conflict
+    FROM '{_LC_FIX}'
+    WHERE orig_id IS NOT NULL
+    """,
+)
+def audio_label_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise QC: near-dup audio pairs (decode -> spectral
+    fingerprint -> banded Hamming self-join, the dedup_audio_fp plan)
+    whose normalized transcripts disagree. The transcript rides the
+    8-byte fingerprint frame as a NORMALIZED HASH (lower + whitespace
+    collapse + trim, then xxhash64), so the self-join still shuffles
+    hash-sized rows — never payload bytes or raw strings — and the
+    conflict verdict is one integer comparison per banded candidate.
+    Same-content re-spellings (casing/whitespace) must compare equal;
+    one-word substitutions must flag. Restricted to planted pairs so
+    the oracle is a truth projection while Spark recovers pairs through
+    the bytes and verdicts through the strings."""
+    from qcflow.udfs import with_audio_fp
+
+    _materialize_lc()
+    clips = spark.read.parquet(_LC_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz", "transcript"
+    )
+    t_norm = F.xxhash64(
+        F.trim(F.regexp_replace(F.lower(F.col("transcript")), " +", " "))
+    )
+    fp = with_audio_fp(_decodable(clips)).select(
+        "clip_id", "audio_fp", t_norm.alias("t_hash")
+    )
+    bands = fp.select(
+        "clip_id",
+        "audio_fp",
+        "t_hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(audio_fp >> {j * _AFP_BAND_BITS})"
+                            f" & {(1 << _AFP_BAND_BITS) - 1}"
+                        ).alias("bucket"),
+                    )
+                    for j in range(_AFP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("clip_id", "audio_fp", "t_hash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.audio_fp ^ b.audio_fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.clip_id") == F.col("a.clip_id") + _LC_OFF),
+        )
+        .filter(ham <= _AFP_HAM_MAX)
+        .select(
+            F.col("a.clip_id").alias("id_a"),
+            F.col("b.clip_id").alias("id_b"),
+            (F.col("a.t_hash") != F.col("b.t_hash")).alias("conflict"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -347,3 +347,54 @@ def text_edit_distance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cer.alias("cer"),
         F.when(cer > 0.05, 1).otherwise(0).alias("cer_flag"),
     )
+
+
+@query(
+    "x_tokenizer_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    c AS (
+      SELECT token,
+             COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token),
+    top AS (
+      SELECT token, n_occurrences, n_docs
+      FROM c ORDER BY n_occurrences DESC, token LIMIT 20)
+    SELECT token, n_occurrences, n_docs,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                AS INT) AS vocab_id
+    FROM top
+    """,
+)
+def x_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary: global top-K tokens by corpus
+    frequency with document frequency and a dense token id, deterministic
+    tie-break on the token string (count ties otherwise make the top-K
+    set partition-layout-dependent). Scale shape: explode fuses into the
+    scan, the count is one hash aggregate with map-side partials, and the
+    top-K is TakeOrderedAndProject (per-partition heap + K-row driver
+    merge — the vocab never exists as a globally sorted frame). The
+    K-row id assignment is a window over the already-K-sized result, the
+    same plot-sized-only idiom as p6 (reference_ops.py docstring)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(20)
+    return top.select(
+        "token",
+        "n_occurrences",
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occurrences").desc(), "token"))
+        .alias("vocab_id"),
+    )

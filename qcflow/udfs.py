@@ -796,3 +796,67 @@ def with_normalize(
         "_nz.gain_db",
         "_nz.clip_after",
     ).drop("_nz")
+
+
+def segment_clips(
+    df: DataFrame,
+    win_ms: int = audio.SEG_WIN_MS,
+    min_tail_frac: float = audio.SEG_MIN_TAIL_FRAC,
+) -> DataFrame:
+    """Fixed-window segmentation for training: decode -> integer-exact
+    ``audio.segment_bounds`` on the win_ms grid (trailing partial kept
+    iff >= ``min_tail_frac`` of a window) -> one OUTPUT ROW PER SEGMENT
+    with the pcm16-re-encoded payload. The audio twin of sequence
+    packing (x_sequence_pack): long clips become uniform training rows.
+
+    Scale shape: map-only — one Arrow crossing per input row, the
+    explode is a JVM-side generator fused with the scan task, no
+    shuffle; output rows inherit the input partitioning. Input payload
+    bytes are replaced by the segment payloads (the ``bytes`` column is
+    dropped). NULL bytes / unknown codec / undecodable payloads yield
+    zero output rows (row-level guard, never task-fatal)."""
+
+    @F.pandas_udf("array<struct<n_samples: long, seg_bytes: binary>>")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            out: list = [None] * len(pdf)
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                win_n = max(1, int(round(sr_eff * win_ms / 1000.0)))
+                out[i] = [
+                    {
+                        "n_samples": e - s,
+                        "seg_bytes": audio.pcm16_encode(x[s:e]),
+                    }
+                    for s, e in audio.segment_bounds(len(x), win_n, min_tail_frac)
+                ]
+            yield pd.Series(out, dtype=object)
+
+    # posexplode injects a size(_segs) > 0 AND isnotnull(_segs) filter on
+    # the UDF's own output, and Catalyst clones the ArrowEvalPython node to
+    # evaluate it — every clip would decode twice. Nondeterministic marks
+    # the node un-duplicable (the with_audio_fp pattern); node count pinned
+    # in tests/test_audio_features.py.
+    _udf = _udf.asNondeterministic()
+    keep = [c for c in df.columns if c != "bytes"]
+    segs = df.withColumn("_segs", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return segs.select(
+        *keep, F.posexplode("_segs").alias("seg_idx", "_seg")
+    ).select(
+        *keep,
+        "seg_idx",
+        F.col("_seg.n_samples").alias("n_samples"),
+        F.col("_seg.seg_bytes").alias("seg_bytes"),
+    )

@@ -22,3 +22,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+CLIPS_T2K = "/root/repo/.cache/clips_t2k"
+
+
+@pytest.fixture(scope="session")
+def clips_t2k(spark):
+    """The shared 2k-clip synthetic table. Materialized here (not only in
+    test_qc_pipeline/test_resume) because .cache/ is wiped between driver
+    rounds and test_plans.py runs alphabetically first."""
+    if not os.path.exists(f"{CLIPS_T2K}/clips.parquet/_SUCCESS"):
+        from qcflow import synth
+
+        synth.generate_clips(spark, 2000, CLIPS_T2K, partitions=8)
+    return f"{CLIPS_T2K}/clips.parquet"

@@ -436,3 +436,63 @@ def test_with_snr_estimate_regimes_and_nulls(spark):
     assert got[90]["snr_est_db"] is None and got[91]["noise_floor_db"] is None
     nf, sp, sn = snr_estimate(np.zeros(0, dtype=np.float32), sr)
     assert nf == sp == 20.0 * np.log10(1e-7) and sn == 0.0
+
+
+def test_segment_clips_bounds_payloads_and_nulls(spark):
+    """Fixed-window segmentation: boundary keep/drop for the trailing
+    partial, pcm16 payloads equal to the decoded slices, undecodable
+    rows vanish, and the plan crosses Python exactly once."""
+    from qcflow import audio
+    from qcflow.udfs import segment_clips
+
+    sr = 8000
+    win = int(sr * 0.4)  # 3200 samples
+    rng = np.random.default_rng(77)
+
+    def mk(n):
+        return np.clip(rng.normal(0.0, 0.2, n), -0.999, 0.999).astype(np.float32)
+
+    xs = {
+        0: mk(2 * win),            # exact multiple -> 2 segments
+        1: mk(2 * win + win // 2), # tail == min_keep -> kept (3 segs)
+        2: mk(2 * win + win // 2 - 1),  # tail just below -> dropped (2)
+        3: mk(win - 1),            # single sub-window clip -> 1 short seg
+    }
+    rows = [
+        (cid, bytearray(audio.pcm16_encode(x)), "pcm16", sr)
+        for cid, x in xs.items()
+    ]
+    rows.append((4, bytearray(audio.ulaw_encode(xs[0])), "ulaw", sr))
+    rows.append((90, None, "pcm16", sr))
+    rows.append((91, bytearray(b"\x01\x02"), "flac", sr))
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    out = segment_clips(df, win_ms=400)
+    assert "bytes" not in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    got = out.collect()
+    by_clip: dict = {}
+    for r in got:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    assert {len(by_clip[c]) for c in (0, 4)} == {2}
+    assert len(by_clip[1]) == 3 and by_clip[1][-1]["n_samples"] == win // 2
+    assert len(by_clip[2]) == 2
+    assert len(by_clip[3]) == 1 and by_clip[3][0]["n_samples"] == win - 1
+    assert 90 not in by_clip and 91 not in by_clip
+    # payload bytes = pcm16 of the decoded slice (ulaw goes through its
+    # roundtrip quantization first)
+    seg0 = sorted(by_clip[0], key=lambda r: r["seg_idx"])[0]
+    dec = audio.decode(audio.pcm16_encode(xs[0]), "pcm16")
+    assert bytes(seg0["seg_bytes"]) == audio.pcm16_encode(dec[:win])
+    dec_u = audio.decode(audio.ulaw_encode(xs[0]), "ulaw")
+    seg4 = sorted(by_clip[4], key=lambda r: r["seg_idx"])[1]
+    assert bytes(seg4["seg_bytes"]) == audio.pcm16_encode(dec_u[win : 2 * win])
+    # every decodable clip's kept samples are a prefix partition of the
+    # original: sum of n_samples == sum of bound spans
+    for cid, x in xs.items():
+        bounds = audio.segment_bounds(len(x), win)
+        assert [r["n_samples"] for r in sorted(by_clip[cid], key=lambda r: r["seg_idx"])] == [
+            e - s for s, e in bounds
+        ]

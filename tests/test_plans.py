@@ -31,12 +31,12 @@ def test_column_pruning_reaches_scan(spark):
     assert "o_orderkey" in read and "o_custkey" not in read
 
 
-def test_bytes_never_scanned_without_pcm(spark):
+def test_bytes_never_scanned_without_pcm(spark, clips_t2k):
     """Binary-column discipline: the fat audio column must not reach the
     scan unless the PCM stage is on."""
     from qcflow.pipeline import score_clips
 
-    clips = spark.read.parquet("/root/repo/.cache/clips_t2k/clips.parquet")
+    clips = spark.read.parquet(clips_t2k)
     res = score_clips(spark, clips, thresholds=_dummy_thr())
     p = plan_of(res.scored)
     read = [seg[:400] for seg in p.split("ReadSchema:")[1:]]
@@ -104,7 +104,7 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bdemo")
 
 
-def test_bucket_partition_pruning_on_outputs(spark, tmp_path):
+def test_bucket_partition_pruning_on_outputs(spark, tmp_path, clips_t2k):
     """Reading one bucket of the kept/dropped layout must prune at the
     directory level (PartitionFilters on the scan) — the resume path
     re-reads single buckets, and at 10^12 rows a full-scan-then-filter
@@ -113,7 +113,7 @@ def test_bucket_partition_pruning_on_outputs(spark, tmp_path):
 
     from qcflow.pipeline import score_clips, write_outputs
 
-    clips = spark.read.parquet("/root/repo/.cache/clips_t2k/clips.parquet")
+    clips = spark.read.parquet(clips_t2k)
     res = score_clips(spark, clips, thresholds=_dummy_thr(), n_buckets=8)
     write_outputs(res, str(tmp_path))
     res.release()

@@ -19,8 +19,8 @@ THR = Thresholds(repetition_lo=0.3, cps_lo=5.0, cps_hi=30.0, ppl_hi=50.0)
 
 
 @pytest.fixture(scope="module")
-def stream_input(spark, tmp_path_factory):
-    src = "/root/repo/.cache/clips_t2k/clips.parquet"
+def stream_input(spark, tmp_path_factory, clips_t2k):
+    src = clips_t2k
     d = tmp_path_factory.mktemp("stream_in")
     # land the clip table as multiple files (arrival batches)
     spark.read.parquet(src).repartition(6).write.mode("overwrite").parquet(str(d / "in"))
