@@ -58,7 +58,11 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # unchanged, their families keep in-window representatives — for the
 # three new ops x_tokenizer_vocab / audio_segment_chunks /
 # audio_label_conflict; x_ks_drift_per_group out — r4-attested,
-# unchanged — for the new x_rank_calibrated_trim).
+# unchanged — for the new x_rank_calibrated_trim; dedup_ngram_jaccard
+# out — r4-attested, five dedup rows stay — for the new
+# audio_segment_transcripts; ann_ivf_trained out — r4-attested,
+# unchanged, the trained-IVF machinery re-attested in-window through
+# ann_index_incremental/_drift — for the new audio_speed_perturb).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -102,11 +106,11 @@ GATE_ORDER = [
     "pmis_qc_pipeline",
     "audio_quality_flags",
     "stream_exactly_once_qc",
-    "dedup_ngram_jaccard",
+    "audio_segment_transcripts",
     "dedup_minhash_lsh",
     "dedup_resolve_clusters",
     "dedup_survivors",
-    "ann_ivf_trained",
+    "audio_speed_perturb",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",

@@ -142,6 +142,21 @@ def main() -> int:
         nz_sec = sec if nz_sec is None or sec < nz_sec else nz_sec
     queries["audio_normalize_10k"] = round(nz_sec, 3)
 
+    # fixed-window training segmentation on the same 10k slice (decode ->
+    # 400 ms pcm16 segments, one row each) — min-of-2 like every
+    # decode-crossing key; F.length materializes the segment payloads
+    from qcflow.udfs import segment_clips
+
+    sg_sec = None
+    for _rep in range(2):
+        t0 = time.time()
+        segment_clips(slice_).select(
+            "clip_id", "seg_idx", F.length("seg_bytes").alias("n_bytes")
+        ).write.format("noop").mode("overwrite").save()
+        sec = time.time() - t0
+        sg_sec = sec if sg_sec is None or sec < sg_sec else sg_sec
+    queries["audio_segment_10k"] = round(sg_sec, 3)
+
     # resumable checkpoint path: the same 60k clips written as 4 snapshot
     # increments of 16 buckets each (thresholds derived once up front,
     # per-(snapshot,bucket) metric partials, lineage-as-commit-log) — the

@@ -72,3 +72,75 @@ def pcm_consistency(df: DataFrame, tol_ms: float = 5.0) -> DataFrame:
             "pcm_inconsistent"
         ),
     )
+
+
+def align_transcript_segments(df: DataFrame, win_ms: int = 400) -> DataFrame:
+    """Uniform-rate transcript alignment onto fixed-window segments: word
+    k of n (midpoint at (k+0.5)/n of the clip) is assigned to the segment
+    covering that instant, giving every training segment produced by
+    ``udfs.segment_clips`` a label WITHOUT decoding — sample counts come
+    from byte length (pcm16 = 2 B/sample, ulaw = 1), so the whole
+    alignment is pure integer column arithmetic fused into the scan
+    (no UDF, no shuffle until the per-segment regroup). The segment
+    count replicates ``audio.segment_bounds``'s tail rule
+    (partial kept iff >= ceil(win/2) samples); word midpoints use
+    the exact integer form ((2k+1)*n_samples) div (2*n_words) div win
+    so any engine computing it agrees bit-for-bit. Clips with zero
+    segments or empty transcripts yield no rows.
+
+    Output: one row per (clip_id, seg_idx) holding that segment's word
+    count and space-joined text, word order preserved."""
+    n_samples = F.when(F.col("codec") == "pcm16", F.length("bytes") / 2).when(
+        F.col("codec") == "ulaw", F.length("bytes")
+    ).cast("long")
+    win_n = (F.col("sr_hz").cast("long") * win_ms / 1000.0).cast("long")
+    n_full = (F.col("n_samples") / F.col("win_n")).cast("long")
+    rem = F.col("n_samples") - n_full * F.col("win_n")
+    min_keep = F.greatest(F.lit(1), F.ceil(F.col("win_n") / 2.0).cast("long"))
+    n_segs = n_full + F.when(rem >= min_keep, 1).otherwise(0)
+    toks = F.filter(F.split(F.col("transcript"), " "), lambda x: x != F.lit(""))
+    base = (
+        df.select(
+            "clip_id",
+            n_samples.alias("n_samples"),
+            win_n.alias("win_n"),
+            toks.alias("toks"),
+        )
+        .withColumn("n_segs", n_segs)
+        .filter(
+            F.col("n_samples").isNotNull()
+            & (F.col("n_segs") > 0)
+            & (F.size("toks") > 0)
+        )
+    )
+    words = base.select(
+        "clip_id",
+        "n_samples",
+        "win_n",
+        "n_segs",
+        F.size("toks").alias("n_words"),
+        F.posexplode("toks").alias("pos", "word"),
+    )
+    # integer `div` keeps the midpoint arithmetic exact for any clip
+    # length (values stay far below 2^53 anyway, but div avoids relying
+    # on float rounding entirely)
+    seg = F.least(
+        F.expr(
+            "((2 * pos + 1) * n_samples) div (2 * n_words) div win_n"
+        ).cast("long"),
+        F.col("n_segs") - 1,
+    )
+    return (
+        words.select("clip_id", seg.alias("seg_idx"), "pos", "word")
+        .groupBy("clip_id", "seg_idx")
+        .agg(
+            F.count("*").alias("n_words_seg"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.word,
+                ),
+                " ",
+            ).alias("seg_text"),
+        )
+    )

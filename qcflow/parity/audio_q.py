@@ -1238,3 +1238,149 @@ def audio_label_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+@query(
+    "audio_segment_transcripts",
+    oracle=f"""
+    WITH c AS (
+      SELECT clip_id,
+             CAST(CASE codec WHEN 'pcm16' THEN octet_length(bytes) // 2
+                             WHEN 'ulaw' THEN octet_length(bytes) END
+                  AS BIGINT) AS n_samples,
+             (CAST(sr_hz AS BIGINT) * {_SEG_WIN_MS}) // 1000 AS win_n,
+             list_filter(string_split(transcript, ' '), x -> x <> '') AS toks
+      FROM '{_LC_FIX}'
+      WHERE bytes IS NOT NULL AND codec IN ('pcm16', 'ulaw')),
+    s AS (
+      SELECT *,
+             (n_samples // win_n)
+             + CASE WHEN n_samples - (n_samples // win_n) * win_n
+                         >= GREATEST(1, CAST(CEIL(win_n / 2.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS n_segs,
+             len(toks) AS n_words
+      FROM c WHERE len(toks) > 0),
+    w AS (
+      SELECT clip_id, n_samples, win_n, n_segs, n_words,
+             u.word, u.pos
+      FROM s, LATERAL (
+        SELECT unnest(toks) AS word,
+               generate_subscripts(toks, 1) AS pos) u
+      WHERE n_segs > 0)
+    SELECT clip_id,
+           LEAST(((2 * (pos - 1) + 1) * n_samples) // (2 * n_words) // win_n,
+                 n_segs - 1) AS seg_idx,
+           COUNT(*) AS n_words_seg,
+           string_agg(word, ' ' ORDER BY pos) AS seg_text
+    FROM w
+    GROUP BY clip_id, seg_idx
+    """,
+)
+def audio_segment_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment transcript labels via uniform-rate alignment
+    (features.align_transcript_segments): word midpoints map onto the
+    segment_clips 400 ms grid with exact integer arithmetic, sample
+    counts derived from BYTE LENGTH (pcm16 = 2 B/sample, ulaw = 1) — so
+    the whole labeling stage is pure column expressions fused with the
+    scan, no decode, no UDF; the only shuffle is the per-(clip, segment)
+    regroup. The DuckDB twin recomputes the identical integer form, so
+    this is a full-arithmetic oracle, not a truth projection."""
+    from qcflow.features import align_transcript_segments
+
+    _materialize_lc()
+    clips = spark.read.parquet(_LC_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz", "transcript"
+    )
+    return align_transcript_segments(clips, win_ms=_SEG_WIN_MS)
+
+
+# ------------------------------------------- speed-perturb augmentation
+#
+# Construction truth for udfs.with_speed_perturb (the standard ASR
+# 0.9x/1.1x augmentation): truth = md5 + length of each (clip, factor)
+# payload computed at build with the identical rational-resample kernel
+# on the roundtripped bytes; the integer tap phase makes executor bytes
+# bit-equal to build bytes on any layout. Undecodable regime included.
+
+N_SP = 140
+_SP_FIX = os.path.join(_DIR, "speedp_v1.parquet")
+_SP_TRUTH = os.path.join(_DIR, "speedp_truth_v1.parquet")
+
+
+def _materialize_sp() -> None:
+    if os.path.exists(_SP_FIX) and os.path.exists(_SP_TRUTH):
+        return
+    import hashlib
+
+    from qcflow import audio
+    from qcflow.udfs import SPEED_FACTORS
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for i in range(N_SP):
+        rng = np.random.default_rng([515164, i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.3, 1.0)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        # band-limit below 0.9x Nyquist so the 1.1x path keeps content
+        for f in np.exp(rng.uniform(np.log(120.0), np.log(0.35 * sr), 3)):
+            x = x + rng.uniform(0.08, 0.2) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.005, n)).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        if i % 7 == 6:  # undecodable: no truth rows
+            if (i // 7) % 2 == 0:
+                rows.append({"clip_id": i, "bytes": None, "sr_hz": sr, "codec": codec})
+            else:
+                rows.append(
+                    {"clip_id": i, "bytes": b"\x05\x06", "sr_hz": sr, "codec": "aac"}
+                )
+            continue
+        b = _afp_encode(x, codec)
+        dec = audio.decode(b, codec)
+        rows.append({"clip_id": i, "bytes": b, "sr_hz": sr, "codec": codec})
+        for num, den in SPEED_FACTORS:
+            y = audio.resample(dec, num, den)
+            truth.append(
+                {
+                    "clip_id": i,
+                    "f_num": num,
+                    "f_den": den,
+                    "sp_samples": len(y),
+                    "sp_md5": hashlib.md5(audio.pcm16_encode(y)).hexdigest(),
+                }
+            )
+    pd.DataFrame(rows).to_parquet(_SP_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_SP_TRUTH, index=False)
+
+
+_materialize_sp()
+
+
+@query(
+    "audio_speed_perturb",
+    oracle=f"""
+    SELECT clip_id, CAST(f_num AS INT) AS f_num, CAST(f_den AS INT) AS f_den,
+           sp_samples, sp_md5
+    FROM '{_SP_TRUTH}'
+    """,
+)
+def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speed-perturbation augmentation recovered THROUGH the bytes: each
+    decodable clip emits its 0.9x and 1.1x time-scaled pcm16 payloads
+    (rational windowed-sinc, sox-speed semantics), md5-compared against
+    build-time truth from the identical kernel. Map-only at any scale;
+    md5 computed JVM-side; undecodable rows contribute nothing."""
+    from qcflow.udfs import with_speed_perturb
+
+    _materialize_sp()
+    clips = spark.read.parquet(_SP_FIX)
+    return with_speed_perturb(clips).select(
+        "clip_id",
+        "f_num",
+        "f_den",
+        "sp_samples",
+        F.md5(F.col("sp_bytes")).alias("sp_md5"),
+    )

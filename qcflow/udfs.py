@@ -860,3 +860,64 @@ def segment_clips(
         F.col("_seg.n_samples").alias("n_samples"),
         F.col("_seg.seg_bytes").alias("seg_bytes"),
     )
+
+
+SPEED_FACTORS = ((9, 10), (11, 10))  # the standard 0.9x / 1.1x ASR pair
+
+
+def with_speed_perturb(
+    df: DataFrame, factors: tuple = SPEED_FACTORS
+) -> DataFrame:
+    """Speed-perturbation augmentation (the standard ASR 0.9x/1.1x
+    scheme): each clip is time-scaled by the RATIONAL factor num/den via
+    the windowed-sinc kernel — resample(x, num, den) compresses the
+    waveform to n*den//num samples, which played back at the original
+    rate is num/den-times faster (pitch scales with it, sox-speed
+    semantics). Rational factors keep the tap phase integer-exact, so
+    the emitted bytes are bit-identical on any partition layout (the
+    construction-truth gate compares md5). One output row per (clip,
+    factor): map-only, one Arrow crossing, JVM-side generator, pcm16
+    payloads at the clip's own sr_hz. Undecodable rows yield zero rows.
+    The augmented rows feed straight back into QC/training tables —
+    duration metadata must be rescaled by the caller (dur_ms * den /
+    num) since the payload length defines it."""
+
+    @F.pandas_udf(
+        "array<struct<f_num: int, f_den: int, sp_samples: long, sp_bytes: binary>>"
+    )
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            out: list = [None] * len(pdf)
+            for i, (b, codec) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                except (ValueError, TypeError):
+                    continue
+                rows = []
+                for num, den in factors:
+                    y = audio.resample(x, int(num), int(den))
+                    rows.append(
+                        {
+                            "f_num": int(num),
+                            "f_den": int(den),
+                            "sp_samples": len(y),
+                            "sp_bytes": audio.pcm16_encode(y),
+                        }
+                    )
+                out[i] = rows
+            yield pd.Series(out, dtype=object)
+
+    # nondeterministic for the same reason as segment_clips: posexplode's
+    # implicit size()>0 filter must not clone the Arrow node
+    _udf = _udf.asNondeterministic()
+    keep = [c for c in df.columns if c != "bytes"]
+    segs = df.withColumn("_sp", _udf(F.struct("bytes", "codec")))
+    return segs.select(*keep, F.explode("_sp").alias("_s")).select(
+        *keep,
+        F.col("_s.f_num").alias("f_num"),
+        F.col("_s.f_den").alias("f_den"),
+        F.col("_s.sp_samples").alias("sp_samples"),
+        F.col("_s.sp_bytes").alias("sp_bytes"),
+    )

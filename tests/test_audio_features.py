@@ -496,3 +496,81 @@ def test_segment_clips_bounds_payloads_and_nulls(spark):
         assert [r["n_samples"] for r in sorted(by_clip[cid], key=lambda r: r["seg_idx"])] == [
             e - s for s, e in bounds
         ]
+
+
+def test_align_transcript_segments_partition_and_order(spark):
+    """Alignment invariants: every word lands in exactly one segment,
+    segment ids are within segment_bounds' count, and concatenating
+    seg_text in seg order reproduces the normalized transcript."""
+    from qcflow import audio
+    from qcflow.features import align_transcript_segments
+
+    sr, win = 8000, 3200
+    rng = np.random.default_rng(5)
+    rows = []
+    for cid in range(12):
+        n = int(rng.integers(win // 2, 5 * win))
+        x = np.zeros(n, dtype=np.float32)
+        words = " ".join(f"c{cid}w{k}" for k in range(int(rng.integers(1, 40))))
+        codec = "pcm16" if cid % 2 == 0 else "ulaw"
+        b = audio.pcm16_encode(x) if codec == "pcm16" else audio.ulaw_encode(x)
+        rows.append((str(cid), bytearray(b), codec, sr, words, n))
+    df = spark.createDataFrame(
+        [r[:5] for r in rows],
+        "clip_id string, bytes binary, codec string, sr_hz int, transcript string",
+    )
+    out = align_transcript_segments(df, win_ms=400).collect()
+    by_clip: dict = {}
+    for r in out:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for cid, b, codec, _, words, n in [
+        (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+    ]:
+        segs = sorted(by_clip.get(cid, []), key=lambda r: r["seg_idx"])
+        n_segs = len(audio.segment_bounds(n, win))
+        if n_segs == 0:
+            assert not segs
+            continue
+        assert segs and segs[-1]["seg_idx"] < n_segs
+        assert " ".join(s["seg_text"] for s in segs) == words
+        assert sum(s["n_words_seg"] for s in segs) == len(words.split())
+        # monotone: word midpoints are increasing, so segment ids are too
+        assert [s["seg_idx"] for s in segs] == sorted(s["seg_idx"] for s in segs)
+
+
+def test_with_speed_perturb_lengths_content_and_nulls(spark):
+    """Speed perturbation: output lengths are n*den//num, a pure tone at
+    f comes back at f*num/den (measured by zero crossings), nulls and
+    unknown codecs vanish, single Arrow crossing."""
+    from qcflow import audio
+    from qcflow.udfs import with_speed_perturb
+
+    sr, n = 8000, 8000
+    t = np.arange(n) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    rows = [
+        (0, bytearray(audio.pcm16_encode(tone)), "pcm16", sr),
+        (1, bytearray(audio.ulaw_encode(tone)), "ulaw", sr),
+        (90, None, "pcm16", sr),
+        (91, bytearray(b"\x01"), "mp3", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    out = with_speed_perturb(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["clip_id"], {})[(r["f_num"], r["f_den"])] = r
+    assert set(by) == {0, 1}
+    for cid in (0, 1):
+        assert by[cid][(9, 10)]["sp_samples"] == n * 10 // 9
+        assert by[cid][(11, 10)]["sp_samples"] == n * 10 // 11
+    # pitch scales with tempo: zero-crossing rate of the 1.1x payload is
+    # ~1.1x the original's (440 Hz -> 484 Hz at the same sr)
+    y = audio.pcm16_decode(bytes(by[0][(11, 10)]["sp_bytes"]))
+    zc = lambda v: int(np.sum(np.signbit(v[:-1]) != np.signbit(v[1:])))  # noqa: E731
+    r = (zc(y) / len(y)) / (zc(tone) / len(tone))
+    assert 1.08 < r < 1.12, r
