@@ -14,6 +14,10 @@ decide; ship the package with ``--py-files qcflow.zip``):
       --out /tmp/norm [--target-sr 16000] [--no-trim] [--no-gain]
       # emits a valid clips table: trim + resample + loudness in ONE
       # decode pass; feed /tmp/norm/normalized.parquet back into `run`
+  python -m qcflow.cli segment --clips /tmp/norm/normalized.parquet \
+      --out /tmp/segs [--win-ms 400] [--no-align]
+      # fixed-window training segments with aligned transcripts; also
+      # a valid clips table (clip_id = '<parent>#<seg>')
 
 Prints one JSON line with counts + timings.
 """
@@ -80,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--no-gain", action="store_true")
     n.add_argument("--cpus", type=int, default=None)
     n.add_argument("--partitions", type=int, default=None)
+
+    sg = sub.add_parser(
+        "segment",
+        help="training segmentation stage: fixed 400 ms windows, one row "
+        "per segment with uniform-rate transcript alignment — emits a "
+        "valid clips table (clip_id='<parent>#<seg>') that feeds back "
+        "into `run` / `stream`",
+    )
+    sg.add_argument("--clips", required=True)
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--win-ms", type=int, default=400)
+    sg.add_argument("--no-align", action="store_true")
+    sg.add_argument("--cpus", type=int, default=None)
+    sg.add_argument("--partitions", type=int, default=None)
 
     i = sub.add_parser(
         "inspect", help="manifest summary: snapshot history + committed counts"
@@ -178,6 +196,36 @@ def main(argv: list[str] | None = None) -> int:
             "avg_gain_db": round(float(agg["avg_gain_db"] or 0.0), 3),
             "clip_after_rate": round(float(agg["clip_rate"] or 0.0), 5),
             "target_sr": args.target_sr,
+            "out": dest,
+        }
+    elif args.cmd == "segment":
+        from pyspark.sql import functions as F
+
+        from qcflow.pipeline import segment_table
+
+        clips = spark.read.parquet(args.clips)
+        n_input = clips.count()
+        sdf = segment_table(clips, win_ms=args.win_ms, align=not args.no_align)
+        if args.partitions:
+            sdf = sdf.repartition(args.partitions)
+        dest = f"{args.out}/segments.parquet"
+        sdf.write.mode("overwrite").parquet(dest)
+        agg = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count("*").alias("n_segs"),
+                F.count_distinct("parent_id").alias("n_clips"),
+                F.avg("dur_ms").alias("avg_dur_ms"),
+            )
+            .collect()[0]
+        )
+        out = {
+            "cmd": "segment",
+            "n_input": n_input,
+            "n_clips_segmented": int(agg["n_clips"] or 0),
+            "n_segments": int(agg["n_segs"] or 0),
+            "avg_dur_ms": round(float(agg["avg_dur_ms"] or 0.0), 1),
+            "win_ms": args.win_ms,
             "out": dest,
         }
     elif args.cmd == "gen":

@@ -93,7 +93,14 @@ def align_transcript_segments(df: DataFrame, win_ms: int = 400) -> DataFrame:
     n_samples = F.when(F.col("codec") == "pcm16", F.length("bytes") / 2).when(
         F.col("codec") == "ulaw", F.length("bytes")
     ).cast("long")
-    win_n = (F.col("sr_hz").cast("long") * win_ms / 1000.0).cast("long")
+    # MUST mirror segment_clips' row guard: invalid/NULL sr falls back to
+    # 8000 so both stages put the same clip on the same window grid (and
+    # a 0/NULL sr cannot ANSI-throw DIVIDE_BY_ZERO below — hit by the
+    # synth table's bad-sr defect rows through the CLI segment stage)
+    sr_eff = F.when(valid_sr_col(), F.col("sr_hz").cast("long")).otherwise(
+        F.lit(8000)
+    )
+    win_n = (sr_eff * win_ms / 1000.0).cast("long")
     n_full = (F.col("n_samples") / F.col("win_n")).cast("long")
     rem = F.col("n_samples") - n_full * F.col("win_n")
     min_keep = F.greatest(F.lit(1), F.ceil(F.col("win_n") / 2.0).cast("long"))

@@ -345,3 +345,63 @@ def normalize_clips(
         "clip_after",
         "lead_samples",
     )
+
+
+def segment_table(
+    clips: DataFrame, win_ms: int = 400, align: bool = True
+) -> DataFrame:
+    """Segmentation stage producing a VALID clips table of training
+    segments: each decodable clip becomes one row per 400 ms window with
+    ``clip_id`` = '<parent>#<seg_idx>', ``bytes`` = the pcm16 segment
+    payload, ``dur_ms`` recomputed from the true segment length, and —
+    when ``align`` and a transcript column exist — ``transcript`` = the
+    words whose uniform-rate midpoints fall in that window
+    (features.align_transcript_segments). The output feeds straight
+    back into score_clips / the stream, closing the loop: normalize ->
+    segment -> QC each training row.
+
+    Scale shape: the decode/segment pass is map-only (one Arrow
+    crossing, JVM-side generator); the alignment side derives counts
+    from BYTE LENGTH (no second decode) and joins back on
+    (clip_id, seg_idx) — both sides hash-partition on the same key, and
+    segment rows are payload-heavy while alignment rows are strings, so
+    the shuffle ships each exactly once. parent_id/seg_idx ride along
+    for lineage."""
+    from qcflow import audio
+    from qcflow.features import align_transcript_segments, valid_sr_col
+    from qcflow.udfs import segment_clips
+
+    decodable = clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    # segment_clips decodes invalid/NULL sr on the 8000 Hz fallback grid;
+    # the emitted rows must carry that EFFECTIVE rate (sr_hz=0 would both
+    # mislabel the payload and ANSI-throw in the dur_ms division)
+    sr_eff = F.when(valid_sr_col(), F.col("sr_hz")).otherwise(F.lit(8000))
+    carried = [
+        c
+        for c in clips.columns
+        if c not in ("clip_id", "bytes", "codec", "sr_hz", "dur_ms", "transcript")
+    ]
+    segs = segment_clips(decodable, win_ms=win_ms).select(
+        F.col("clip_id").alias("parent_id"),
+        "seg_idx",
+        *carried,
+        F.concat_ws(
+            "#", F.col("clip_id").cast("string"), F.col("seg_idx").cast("string")
+        ).alias("clip_id"),
+        F.col("seg_bytes").alias("bytes"),
+        F.lit("pcm16").alias("codec"),
+        sr_eff.alias("sr_hz"),
+        F.round(F.col("n_samples") * 1000.0 / sr_eff).cast("int").alias("dur_ms"),
+    )
+    if align and "transcript" in clips.columns:
+        al = align_transcript_segments(decodable, win_ms=win_ms).select(
+            F.col("clip_id").alias("parent_id"),
+            "seg_idx",
+            F.col("seg_text").alias("transcript"),
+        )
+        segs = segs.join(al, ["parent_id", "seg_idx"], "left").withColumn(
+            "transcript", F.coalesce(F.col("transcript"), F.lit(""))
+        )
+    return segs

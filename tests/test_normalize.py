@@ -107,3 +107,59 @@ def test_cli_normalize_roundtrips_into_qc(spark, tmp_path, capsys):
     )
     assert res.scored.count() == ok.count()
     res.release()
+
+
+def test_segment_table_valid_clips_and_alignment(spark):
+    """segment_table emits a VALID clips table: '<parent>#<seg>' ids,
+    pcm16 payloads whose byte length matches dur_ms, aligned transcripts
+    that concatenate back to the parent's words, invalid-sr rows on the
+    8000 Hz fallback grid, and the whole thing feeds into score_clips."""
+    from qcflow.pipeline import score_clips, segment_table
+    from qcflow.rules import Thresholds
+
+    sr, n = 8000, 16000  # 2.0 s -> 5 segments of 400 ms
+    x = np.clip(
+        np.random.default_rng(3).normal(0.0, 0.2, n), -0.999, 0.999
+    ).astype(np.float32)
+    rows = [
+        ("a", bytearray(audio.pcm16_encode(x)), "pcm16", sr, 2000, "w1 w2 w3 w4 w5"),
+        ("b", bytearray(audio.ulaw_encode(x[:8000])), "ulaw", sr, 1000, "y1 y2"),
+        ("badsr", bytearray(audio.pcm16_encode(x[:8000])), "pcm16", 0, 1000, "z1"),
+        ("null", None, "pcm16", sr, 1000, "q1"),
+        ("badc", bytearray(b"\x01"), "mp3", sr, 1000, "q2"),
+    ]
+    clips = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, codec string, sr_hz int, "
+        "dur_ms int, transcript string",
+    )
+    segs = segment_table(clips).cache()
+    got = {r["clip_id"]: r for r in segs.collect()}
+    assert set(r.split("#")[0] for r in got) == {"a", "b", "badsr"}
+    assert len([k for k in got if k.startswith("a#")]) == 5
+    # valid clips contract: pcm16, byte length consistent with dur_ms
+    for r in got.values():
+        assert r["codec"] == "pcm16"
+        n_samp = len(bytes(r["bytes"])) // 2
+        assert r["dur_ms"] == int(round(n_samp * 1000.0 / r["sr_hz"]))
+    # alignment: words concatenate back in order
+    a_segs = sorted(
+        (r for k, r in got.items() if k.startswith("a#")),
+        key=lambda r: r["seg_idx"],
+    )
+    joined = " ".join(r["transcript"] for r in a_segs if r["transcript"])
+    assert joined == "w1 w2 w3 w4 w5"
+    # invalid sr rides the fallback grid and reports it
+    bs = [r for k, r in got.items() if k.startswith("badsr#")]
+    assert all(r["sr_hz"] == 8000 for r in bs)
+    # composability: the segments table IS a clips table
+    res = score_clips(
+        spark,
+        segs,
+        thresholds=Thresholds(
+            repetition_lo=0.1, cps_lo=0.01, cps_hi=1000.0, ppl_hi=1000.0
+        ),
+    )
+    assert res.scored.count() == segs.count()
+    res.release()
+    segs.unpersist()
