@@ -460,6 +460,17 @@ box).
   (hash band joins over 8-byte hash rows — payload bytes never reach
   a shuffle, no nested-loop), incremental IVFPQ maintenance
   (assign+encode only, list-pruned join) — tests/test_plans.py:339+.
+- r5 continuation ops: fixed-window training segmentation DOES get a
+  bench key (audio_segment_10k, min-of-2 decode-crossing — one Arrow
+  crossing, JVM-side generator); the rest are map-only or
+  dimension-sized and stay plan/oracle-gated: per-segment transcript
+  alignment (pure integer column arithmetic from byte lengths — no
+  decode at all), speed-perturb augmentation (same rational-resample
+  kernel as the normalize stage), label-conflict detection (rides the
+  audio-fp banded join with an 8-byte transcript hash), tokenizer
+  vocab (map-side-combining agg + TakeOrderedAndProject), per-lang
+  rank-quota trim (grouped-sort; documented skew caveat + sketch
+  swap at scale).
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 

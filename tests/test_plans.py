@@ -408,3 +408,56 @@ def test_audio_fp_single_decode_per_join_side(spark):
     p = plan_of(QUERIES["dedup_audio_fp"](spark, SF))
     tree = p.split("\n\n")[0]
     assert tree.count("ArrowEvalPython (") == 2, p
+
+
+def test_segment_and_speed_perturb_are_map_only(spark):
+    """Segmentation and speed-perturb augmentation are single-Arrow-
+    crossing map jobs: no Exchange (payloads never shuffle), exactly one
+    Python node (the posexplode's implicit size()>0 filter must not
+    clone it — the UDFs are nondeterministic-flagged), md5 JVM-side."""
+    for name in ("audio_segment_chunks", "audio_speed_perturb"):
+        p = plan_of(QUERIES[name](spark, SF))
+        assert "Exchange" not in p, (name, p)
+        tree = p.split("\n\n")[0]
+        assert tree.count("ArrowEvalPython (") == 1, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+
+
+def test_label_conflict_join_ships_hashes_only(spark):
+    """The label-conflict banded self-join must hash-join on
+    (band, bucket) with 8-byte fingerprint + transcript-hash columns —
+    never payload bytes or raw transcript strings — and decode each
+    side once (two Arrow nodes total)."""
+    p = plan_of(QUERIES["audio_label_conflict"](spark, SF))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    join_on = p[p.index("Join") :][:400] if "Join" in p else p
+    assert "bytes" not in join_on and "transcript" not in join_on, join_on
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython (") == 2, p
+
+
+def test_segment_transcripts_no_python_one_exchange(spark):
+    """Transcript alignment is decode-free: NO Python node anywhere
+    (byte-length arithmetic only), and the only Exchange is the
+    per-(clip, segment) regroup — one hash partitioning, no range."""
+    p = plan_of(QUERIES["audio_segment_transcripts"](spark, SF), "simple")
+    assert "Python" not in p, p
+    assert "rangepartitioning" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_tokenizer_vocab_topk_never_global_sorts(spark):
+    """The vocab top-K must be TakeOrderedAndProject (per-partition heap
+    + K-row driver merge), never a range-Exchange global sort of the
+    token counts."""
+    p = plan_of(QUERIES["x_tokenizer_vocab"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p
+
+
+def test_rank_trim_single_group_exchange(spark):
+    """The per-language rank trim shuffles once on lang (window sort is
+    in-partition): one hash Exchange, no range partitioning."""
+    p = plan_of(QUERIES["x_rank_calibrated_trim"](spark, SF), "simple")
+    assert "rangepartitioning" not in p, p
+    assert p.count("Exchange") == 1, p
