@@ -62,7 +62,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # out — r4-attested, five dedup rows stay — for the new
 # audio_segment_transcripts; ann_ivf_trained out — r4-attested,
 # unchanged, the trained-IVF machinery re-attested in-window through
-# ann_index_incremental/_drift — for the new audio_speed_perturb).
+# ann_index_incremental/_drift — for the new audio_speed_perturb;
+# ann_pq_train out — r4-attested, trainer unchanged in r5 — for the
+# new audio_noise_augment).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -114,7 +116,7 @@ GATE_ORDER = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
-    "ann_pq_train",
+    "audio_noise_augment",
     "ann_ivfpq_residual_trained",
     "x_rank_calibrated_trim",
 ]

@@ -337,3 +337,40 @@ def segment_bounds(
     if bounds and (bounds[-1][1] - bounds[-1][0]) < min_keep:
         bounds.pop()
     return bounds
+
+
+# ----------------------------------------------- noise augmentation
+
+NOISE_SNR_DB = 20.0  # default augmentation SNR
+
+
+def noise_augment(
+    x: np.ndarray,
+    key: int,
+    snr_db: float = NOISE_SNR_DB,
+    seed: int = 424242,
+    block: int = 1 << 16,
+) -> np.ndarray:
+    """Deterministic additive-noise augmentation: white Gaussian noise
+    scaled so signal/noise power = ``snr_db``, generated by a
+    counter-based rng seeded with (seed, key) — so the SAME clip under
+    the SAME key yields byte-identical output on any executor, any
+    partition layout, any retry (the construction-truth gate compares
+    md5). Blocked float64 power sum like ``loudness_gain`` (the block
+    size is part of the arithmetic — every caller must use the
+    default). Digitally-silent clips pass through unchanged (no signal
+    power to scale against)."""
+    n = len(x)
+    if n == 0:
+        return x.astype(np.float32)
+    acc = 0.0
+    for s in range(0, n, block):
+        seg = x[s : s + block].astype(np.float64)
+        acc += float(np.sum(seg * seg))
+    rms = float(np.sqrt(acc / n))
+    if rms == 0.0:
+        return x.astype(np.float32)
+    sigma = rms / (10.0 ** (snr_db / 20.0))
+    rng = np.random.default_rng([seed, int(key) & 0x7FFFFFFFFFFFFFFF])
+    y = x.astype(np.float64) + rng.normal(0.0, sigma, n)
+    return np.clip(y, -1.0, 1.0).astype(np.float32)

@@ -1384,3 +1384,92 @@ def audio_speed_perturb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sp_samples",
         F.md5(F.col("sp_bytes")).alias("sp_md5"),
     )
+
+
+# ------------------------------------------- noise augmentation gate
+#
+# Construction truth for udfs.with_noise_augment: deterministic
+# counter-based noise keyed by (seed, clip_id) means the truth builder
+# and the executor derive IDENTICAL bytes from the identical kernel —
+# md5 + length per clip, undecodable regime included. Also plants a
+# digitally-silent clip (passes through unchanged — no signal power to
+# scale against).
+
+N_NZ = 120
+_NZ_FIX = os.path.join(_DIR, "noiseaug_v1.parquet")
+_NZ_TRUTH = os.path.join(_DIR, "noiseaug_truth_v1.parquet")
+_NZ_SEED = 424242
+
+
+def _materialize_nz() -> None:
+    if os.path.exists(_NZ_FIX) and os.path.exists(_NZ_TRUTH):
+        return
+    import hashlib
+
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for i in range(N_NZ):
+        rng = np.random.default_rng([515165, i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.3, 0.9)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3000.0), 2)):
+            x = x + rng.uniform(0.1, 0.25) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = x.astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        if i % 8 == 7:  # undecodable: no truth rows
+            if (i // 8) % 2 == 0:
+                rows.append({"clip_id": i, "bytes": None, "sr_hz": sr, "codec": codec})
+            else:
+                rows.append(
+                    {"clip_id": i, "bytes": b"\x09", "sr_hz": sr, "codec": "wma"}
+                )
+            continue
+        if i % 8 == 6:  # digitally silent: augment must pass through
+            x = np.zeros(n, dtype=np.float32)
+        b = _afp_encode(x, codec)
+        dec = audio.decode(b, codec)
+        rows.append({"clip_id": i, "bytes": b, "sr_hz": sr, "codec": codec})
+        y = audio.noise_augment(dec, i, seed=_NZ_SEED)
+        truth.append(
+            {
+                "clip_id": i,
+                "nz_samples": len(y),
+                "nz_md5": hashlib.md5(audio.pcm16_encode(y)).hexdigest(),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(_NZ_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_NZ_TRUTH, index=False)
+
+
+_materialize_nz()
+
+
+@query(
+    "audio_noise_augment",
+    oracle=f"""
+    SELECT clip_id, nz_samples, nz_md5
+    FROM '{_NZ_TRUTH}'
+    """,
+)
+def audio_noise_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic additive-noise augmentation at 20 dB SNR recovered
+    THROUGH the bytes: counter-based rng keyed by (seed, clip_id) makes
+    executor output byte-identical to build-time truth on any layout or
+    retry — no RNG state ever crosses tasks. Map-only, one Arrow
+    crossing, md5 JVM-side; silent clips pass through unchanged and
+    undecodable rows contribute nothing."""
+    from qcflow.udfs import with_noise_augment
+
+    _materialize_nz()
+    clips = spark.read.parquet(_NZ_FIX)
+    return with_noise_augment(_decodable(clips), seed=_NZ_SEED).select(
+        "clip_id",
+        "nz_samples",
+        F.md5(F.col("nz_bytes")).alias("nz_md5"),
+    )

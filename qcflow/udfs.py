@@ -921,3 +921,51 @@ def with_speed_perturb(
         F.col("_s.sp_samples").alias("sp_samples"),
         F.col("_s.sp_bytes").alias("sp_bytes"),
     )
+
+
+def with_noise_augment(
+    df: DataFrame,
+    snr_db: float = audio.NOISE_SNR_DB,
+    seed: int = 424242,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Additive-noise augmentation at a target SNR (the third standard
+    ASR augmentation next to speed perturb and normalization): decode ->
+    audio.noise_augment keyed by (seed, key_col) -> pcm16
+    (nz_bytes, nz_samples). The noise is COUNTER-BASED deterministic —
+    no RNG state crosses tasks, retries and partition layouts reproduce
+    identical bytes (md5 construction-truth gated, truth computable
+    anywhere the key is known). ``key_col`` must be integral; hash
+    string ids first (e.g. ``F.xxhash64``) — the key must be a value
+    BOTH the executor and any truth builder can derive, which is why
+    the UDF never hashes internally. Map-only, one Arrow crossing;
+    NULL bytes / unknown codec / undecodable payloads yield NULLs."""
+    hcol = F.col(key_col).cast("long")
+
+    @F.pandas_udf("nz_bytes binary, nz_samples long")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_b: list = [None] * len(pdf)
+            n_out = pd.array([None] * len(pdf), dtype="Int64")
+            for i, (b, codec, h) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["_nz_key"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                except (ValueError, TypeError):
+                    continue
+                y = audio.noise_augment(x, int(h), snr_db=snr_db, seed=seed)
+                out_b[i] = audio.pcm16_encode(y)
+                n_out[i] = len(y)
+            yield pd.DataFrame(
+                {"nz_bytes": pd.Series(out_b, dtype=object), "nz_samples": n_out}
+            )
+
+    out = df.withColumn("_nz_key", hcol).withColumn(
+        "_nz", _udf(F.struct("bytes", "codec", "_nz_key"))
+    )
+    return out.select(
+        "*", "_nz.nz_bytes", "_nz.nz_samples"
+    ).drop("_nz", "_nz_key")

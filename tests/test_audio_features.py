@@ -574,3 +574,36 @@ def test_with_speed_perturb_lengths_content_and_nulls(spark):
     zc = lambda v: int(np.sum(np.signbit(v[:-1]) != np.signbit(v[1:])))  # noqa: E731
     r = (zc(y) / len(y)) / (zc(tone) / len(tone))
     assert 1.08 < r < 1.12, r
+
+
+def test_with_noise_augment_snr_determinism_and_nulls(spark):
+    """Noise augmentation: achieved SNR ~ the 20 dB target, identical
+    bytes across two runs (counter-based determinism), silent clips
+    pass through unchanged, nulls/unknown codecs NULL out."""
+    from qcflow import audio
+    from qcflow.udfs import with_noise_augment
+
+    sr, n = 8000, 16000
+    t = np.arange(n) / sr
+    x = (0.3 * np.sin(2 * np.pi * 500.0 * t)).astype(np.float32)
+    rows = [
+        (0, bytearray(audio.pcm16_encode(x)), "pcm16", sr),
+        (1, bytearray(audio.pcm16_encode(np.zeros(n, dtype=np.float32))), "pcm16", sr),
+        (90, None, "pcm16", sr),
+        (91, bytearray(b"\x01"), "ogg", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    a = {r["clip_id"]: r for r in with_noise_augment(df).collect()}
+    b = {r["clip_id"]: r for r in with_noise_augment(df.repartition(4)).collect()}
+    assert bytes(a[0]["nz_bytes"]) == bytes(b[0]["nz_bytes"])  # layout-invariant
+    assert a[90]["nz_bytes"] is None and a[91]["nz_samples"] is None
+    # silent clip passes through: identical payload
+    x0 = audio.decode(bytes(rows[1][1]), "pcm16")
+    assert bytes(a[1]["nz_bytes"]) == audio.pcm16_encode(x0)
+    # achieved SNR near target: noise power = |y - x|^2
+    y = audio.pcm16_decode(bytes(a[0]["nz_bytes"])).astype(np.float64)
+    x64 = audio.decode(audio.pcm16_encode(x), "pcm16").astype(np.float64)
+    snr = 10.0 * np.log10(np.sum(x64**2) / np.sum((y - x64) ** 2))
+    assert 18.5 < snr < 21.5, snr

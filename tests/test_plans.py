@@ -415,7 +415,11 @@ def test_segment_and_speed_perturb_are_map_only(spark):
     crossing map jobs: no Exchange (payloads never shuffle), exactly one
     Python node (the posexplode's implicit size()>0 filter must not
     clone it — the UDFs are nondeterministic-flagged), md5 JVM-side."""
-    for name in ("audio_segment_chunks", "audio_speed_perturb"):
+    for name in (
+        "audio_segment_chunks",
+        "audio_speed_perturb",
+        "audio_noise_augment",
+    ):
         p = plan_of(QUERIES[name](spark, SF))
         assert "Exchange" not in p, (name, p)
         tree = p.split("\n\n")[0]
