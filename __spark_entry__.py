@@ -64,7 +64,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # unchanged, the trained-IVF machinery re-attested in-window through
 # ann_index_incremental/_drift — for the new audio_speed_perturb;
 # ann_pq_train out — r4-attested, trainer unchanged in r5 — for the
-# new audio_noise_augment).
+# new audio_noise_augment; dedup_resolve_clusters out — r4-attested,
+# its CC machinery re-attested through dedup_survivors which stays —
+# for the new dedup_repeated_segment).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -110,7 +112,7 @@ GATE_ORDER = [
     "stream_exactly_once_qc",
     "audio_segment_transcripts",
     "dedup_minhash_lsh",
-    "dedup_resolve_clusters",
+    "dedup_repeated_segment",
     "dedup_survivors",
     "audio_speed_perturb",
     "ann_pq_adc_topk",

@@ -1473,3 +1473,130 @@ def audio_noise_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nz_samples",
         F.md5(F.col("nz_bytes")).alias("nz_md5"),
     )
+
+
+# ------------------------------------------- repeated-content detection
+#
+# The composition of segmentation + fingerprinting: speech corpora carry
+# repeated non-speech content (jingles, ads, station idents) that should
+# be detected and dropped at the SEGMENT level. Fixture: 40 groups x 3
+# clips of otherwise-unique sinusoid mixtures, each carrying one SHARED
+# 400 ms pcm16 block planted at a (varying) window-aligned position —
+# identical bytes => identical spectral fingerprint, while distinct
+# random content diverges to ~32/64 bits. Truth rows (clip_id, seg_idx,
+# group_rep) are planted at build; Spark must recover them THROUGH the
+# bytes: segment -> fingerprint per segment -> group fingerprints seen
+# in >= 2 distinct parents.
+
+N_RC_GROUPS = 40
+_RC_FIX = os.path.join(_DIR, "repcontent_v1.parquet")
+_RC_TRUTH = os.path.join(_DIR, "repcontent_truth_v1.parquet")
+_RC_SR = 8000
+_RC_WIN = int(_RC_SR * 0.4)
+
+
+def _materialize_rc() -> None:
+    if os.path.exists(_RC_FIX) and os.path.exists(_RC_TRUTH):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for g in range(N_RC_GROUPS):
+        grng = np.random.default_rng([515166, g])
+        t = np.arange(_RC_WIN) / _RC_SR
+        shared = np.zeros(_RC_WIN)
+        for f in np.exp(grng.uniform(np.log(150.0), np.log(3000.0), 3)):
+            shared = shared + grng.uniform(0.1, 0.25) * np.sin(
+                2 * np.pi * f * t + grng.uniform(0, 2 * np.pi)
+            )
+        shared = (shared + grng.normal(0.0, 0.01, _RC_WIN)).astype(np.float32)
+        # quantization-stable block: what every clip's bytes carry
+        shared_q = audio.decode(audio.pcm16_encode(shared), "pcm16")
+        for j in range(3):
+            cid = 3 * g + j
+            crng = np.random.default_rng([515167, cid])
+            n_segs = int(crng.integers(3, 7))
+            at = int(crng.integers(0, n_segs))
+            parts = []
+            for s in range(n_segs):
+                if s == at:
+                    parts.append(shared_q)
+                    continue
+                u = np.zeros(_RC_WIN)
+                for f in np.exp(crng.uniform(np.log(150.0), np.log(3000.0), 3)):
+                    u = u + crng.uniform(0.1, 0.25) * np.sin(
+                        2 * np.pi * f * t + crng.uniform(0, 2 * np.pi)
+                    )
+                parts.append(
+                    (u + crng.normal(0.0, 0.01, _RC_WIN)).astype(np.float32)
+                )
+            x = np.concatenate(parts)
+            rows.append(
+                {
+                    "clip_id": cid,
+                    "bytes": audio.pcm16_encode(x),
+                    "sr_hz": _RC_SR,
+                    "codec": "pcm16",
+                }
+            )
+            truth.append({"clip_id": cid, "seg_idx": at, "group_rep": 3 * g})
+    pd.DataFrame(rows).to_parquet(_RC_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_RC_TRUTH, index=False)
+
+
+_materialize_rc()
+
+
+@query(
+    "dedup_repeated_segment",
+    oracle=f"""
+    SELECT clip_id, seg_idx, group_rep
+    FROM '{_RC_TRUTH}'
+    """,
+)
+def dedup_repeated_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-content detection at segment granularity (jingle / ad /
+    station-ident removal): segment every clip on the 400 ms grid,
+    fingerprint each segment, and flag segments whose fingerprint occurs
+    in >= 2 DISTINCT parent clips — emitting (clip_id, seg_idx,
+    group_rep = min parent id of the fingerprint group). Scale shape:
+    the shuffle ships (parent, seg_idx, 8-byte fp) — never payload
+    bytes; the grouping is ONE hash Exchange on fp with O(1) window
+    state (min/max parent — ">= 2 distinct" == min != max), no
+    self-join fan-out (an exact-equality group, the chunk-dedup shape,
+    not the banded near-dup shape —
+    identical planted bytes make fingerprints exactly equal while
+    distinct random content diverges to ~32/64 bits). The two Arrow
+    crossings (segment, fingerprint) are a documented composition of
+    the audited kernels; a fused single-crossing variant is a trivial
+    specialization if the extra crossing ever shows up in a profile."""
+    from qcflow.udfs import segment_clips, with_audio_fp
+
+    _materialize_rc()
+    clips = spark.read.parquet(_RC_FIX)
+    segs = segment_clips(_decodable(clips), win_ms=400).select(
+        F.col("clip_id").alias("parent_id"),
+        "seg_idx",
+        F.col("seg_bytes").alias("bytes"),
+        F.lit("pcm16").alias("codec"),
+        "sr_hz",
+    )
+    fps = with_audio_fp(segs).select("parent_id", "seg_idx", "audio_fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("audio_fp")
+    # ">= 2 distinct parents" == min(parent) != max(parent): O(1) window
+    # state (a collect_set buffer would grow with a pathologically hot
+    # fingerprint — a corpus-wide jingle — on one reducer)
+    marked = fps.select(
+        "parent_id",
+        "seg_idx",
+        F.min("parent_id").over(w).alias("group_rep"),
+        (F.min("parent_id").over(w) != F.max("parent_id").over(w)).alias(
+            "is_repeated"
+        ),
+    )
+    return marked.filter("is_repeated").select(
+        F.col("parent_id").alias("clip_id"), "seg_idx", "group_rep"
+    )

@@ -465,3 +465,17 @@ def test_rank_trim_single_group_exchange(spark):
     p = plan_of(QUERIES["x_rank_calibrated_trim"](spark, SF), "simple")
     assert "rangepartitioning" not in p, p
     assert p.count("Exchange") == 1, p
+
+
+def test_repeated_segment_ships_fp_only_one_exchange(spark):
+    """Repeated-content detection shuffles (parent, seg, 8-byte fp)
+    once for the fingerprint window — payload bytes never reach the
+    Exchange — and the two Arrow crossings are the segment and
+    fingerprint kernels, not optimizer clones."""
+    p = plan_of(QUERIES["dedup_repeated_segment"](spark, SF))
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython (") == 2, p
+    assert p.count("Exchange") >= 1
+    ex = p[p.index("Exchange") :][:300]
+    assert "bytes" not in ex, ex
+    assert "rangepartitioning" not in p.lower(), p
