@@ -66,7 +66,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # ann_pq_train out — r4-attested, trainer unchanged in r5 — for the
 # new audio_noise_augment; dedup_resolve_clusters out — r4-attested,
 # its CC machinery re-attested through dedup_survivors which stays —
-# for the new dedup_repeated_segment).
+# for the new dedup_repeated_segment; dedup_minhash_lsh out —
+# r4-attested, the banding machinery attested in-window through
+# image_phash/audio_fp/label_conflict — for the new
+# audio_vad_segments).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -111,7 +114,7 @@ GATE_ORDER = [
     "audio_quality_flags",
     "stream_exactly_once_qc",
     "audio_segment_transcripts",
-    "dedup_minhash_lsh",
+    "audio_vad_segments",
     "dedup_repeated_segment",
     "dedup_survivors",
     "audio_speed_perturb",

@@ -1600,3 +1600,113 @@ def dedup_repeated_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.filter("is_repeated").select(
         F.col("parent_id").alias("clip_id"), "seg_idx", "group_rep"
     )
+
+
+# ------------------------------------------- VAD segmentation gate
+#
+# Construction truth for udfs.with_vad_segments (variable-length voiced
+# spans — the realistic chunker next to the fixed grid): clips built as
+# frame-aligned alternations of sub-threshold pads and tone bursts,
+# with planted edge regimes — a 1-frame blip (must be dropped by the
+# min-span rule), bursts touching the clip edges, all-silent clips (no
+# rows) and undecodable rows. Truth = one row per expected span
+# (start, length, payload md5) from the identical kernel chain on the
+# roundtripped bytes.
+
+N_VAD = 160
+_VAD_FIX = os.path.join(_DIR, "vadseg_v1.parquet")
+_VAD_TRUTH = os.path.join(_DIR, "vadseg_truth_v1.parquet")
+
+
+def _materialize_vad() -> None:
+    if os.path.exists(_VAD_FIX) and os.path.exists(_VAD_TRUTH):
+        return
+    import hashlib
+
+    from qcflow import audio
+    from qcflow.udfs import voiced_spans
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for i in range(N_VAD):
+        rng = np.random.default_rng([515168, i])
+        sr = int(rng.choice([8000, 16000]))
+        fl = int(round(sr * 0.02))
+        regime = i % 6
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        if regime == 5:  # undecodable
+            if (i // 6) % 2 == 0:
+                rows.append({"clip_id": i, "bytes": None, "sr_hz": sr, "codec": codec})
+            else:
+                rows.append(
+                    {"clip_id": i, "bytes": b"\x0a\x0b", "sr_hz": sr, "codec": "amr"}
+                )
+            continue
+        pad = lambda k: rng.normal(0.0, 0.0005, k * fl)  # noqa: E731
+        def burst(k):
+            t = np.arange(k * fl) / sr
+            return 0.3 * np.sin(2 * np.pi * float(rng.uniform(200, 2500)) * t)
+        if regime == 4:  # all silent -> zero spans
+            x = pad(int(rng.integers(6, 20)))
+        else:
+            parts = []
+            if regime != 0:  # regime 0: burst touches the left edge
+                parts.append(pad(int(rng.integers(1, 6))))
+            for _b in range(int(rng.integers(1, 4))):
+                parts.append(burst(int(rng.integers(2, 9))))
+                parts.append(pad(int(rng.integers(1, 6))))
+            if regime == 2:  # planted 1-frame blip: dropped by min-span
+                parts.append(burst(1))
+                parts.append(pad(int(rng.integers(1, 4))))
+            if regime == 3:  # burst touches the right edge
+                parts.append(burst(int(rng.integers(2, 6))))
+            x = np.concatenate(parts)
+        x = np.clip(x, -0.999, 0.999).astype(np.float32)
+        b = _afp_encode(x, codec)
+        dec = audio.decode(b, codec)
+        rows.append({"clip_id": i, "bytes": b, "sr_hz": sr, "codec": codec})
+        for si, (s, e) in enumerate(voiced_spans(dec, sr)):
+            truth.append(
+                {
+                    "clip_id": i,
+                    "span_idx": si,
+                    "start_sample": s,
+                    "n_samples": e - s,
+                    "span_md5": hashlib.md5(
+                        audio.pcm16_encode(dec[s:e])
+                    ).hexdigest(),
+                }
+            )
+    pd.DataFrame(rows).to_parquet(_VAD_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_VAD_TRUTH, index=False)
+
+
+_materialize_vad()
+
+
+@query(
+    "audio_vad_segments",
+    oracle=f"""
+    SELECT clip_id, span_idx, start_sample, n_samples, span_md5
+    FROM '{_VAD_TRUTH}'
+    """,
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD segmentation recovered THROUGH the bytes: decode -> maximal
+    voiced-frame runs on the 20 ms RMS grid (sub-40 ms blips dropped) ->
+    one pcm16 payload row per span, md5-compared against build-time
+    truth from the identical kernel. The variable-length chunker real
+    speech corpora use, next to the fixed-grid audio_segment_chunks.
+    Map-only at any scale, one Arrow crossing, md5 JVM-side; all-silent
+    clips emit zero rows, undecodable rows contribute nothing."""
+    from qcflow.udfs import with_vad_segments
+
+    _materialize_vad()
+    clips = spark.read.parquet(_VAD_FIX)
+    return with_vad_segments(_decodable(clips)).select(
+        "clip_id",
+        "span_idx",
+        "start_sample",
+        "n_samples",
+        F.md5(F.col("span_bytes")).alias("span_md5"),
+    )

@@ -607,3 +607,54 @@ def test_with_noise_augment_snr_determinism_and_nulls(spark):
     x64 = audio.decode(audio.pcm16_encode(x), "pcm16").astype(np.float64)
     snr = 10.0 * np.log10(np.sum(x64**2) / np.sum((y - x64) ** 2))
     assert 18.5 < snr < 21.5, snr
+
+
+def test_with_vad_segments_spans_blips_and_nulls(spark):
+    """VAD segmentation: spans match the planted bursts, a 1-frame blip
+    is dropped, payload bytes equal the decoded slices, all-silent and
+    undecodable rows emit nothing, single Arrow crossing."""
+    from qcflow import audio
+    from qcflow.udfs import with_vad_segments
+
+    sr = 8000
+    fl = 160
+    rng = np.random.default_rng(9)
+
+    def pad(k):
+        return rng.normal(0.0, 0.0005, k * fl)
+
+    def burst(k, f=440.0):
+        t = np.arange(k * fl) / sr
+        return 0.3 * np.sin(2 * np.pi * f * t)
+
+    x0 = np.concatenate([pad(2), burst(3), pad(2), burst(1), pad(1), burst(4)])
+    x0 = np.clip(x0, -0.999, 0.999).astype(np.float32)
+    rows = [
+        (0, bytearray(audio.pcm16_encode(x0)), "pcm16", sr),
+        (1, bytearray(audio.ulaw_encode(np.clip(pad(8), -0.999, 0.999).astype(np.float32))), "ulaw", sr),
+        (90, None, "pcm16", sr),
+        (91, bytearray(b"\x01"), "flac", sr),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id int, bytes binary, codec string, sr_hz int"
+    )
+    out = with_vad_segments(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["clip_id"], []).append(r)
+    assert set(by) == {0}
+    spans = sorted(by[0], key=lambda r: r["span_idx"])
+    # two spans: frames 2-4 and frames 9-12; the 1-frame blip at 7 dropped
+    assert [(r["start_sample"], r["n_samples"]) for r in spans] == [
+        (2 * fl, 3 * fl),
+        (9 * fl, 4 * fl),
+    ]
+    dec = audio.decode(audio.pcm16_encode(x0), "pcm16")
+    for r in spans:
+        s = r["start_sample"]
+        assert bytes(r["span_bytes"]) == audio.pcm16_encode(
+            dec[s : s + r["n_samples"]]
+        )

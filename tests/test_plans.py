@@ -419,6 +419,7 @@ def test_segment_and_speed_perturb_are_map_only(spark):
         "audio_segment_chunks",
         "audio_speed_perturb",
         "audio_noise_augment",
+        "audio_vad_segments",
     ):
         p = plan_of(QUERIES[name](spark, SF))
         assert "Exchange" not in p, (name, p)
