@@ -69,7 +69,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # for the new dedup_repeated_segment; dedup_minhash_lsh out —
 # r4-attested, the banding machinery attested in-window through
 # image_phash/audio_fp/label_conflict — for the new
-# audio_vad_segments).
+# audio_vad_segments; ann_ivfpq_topk out — r4-attested, the r5
+# batch-join/self-exclusion changes still exercised by the adc /
+# residual / residual_trained rows in-window — for the new
+# x_bigram_lm_train).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -119,7 +122,7 @@ GATE_ORDER = [
     "dedup_survivors",
     "audio_speed_perturb",
     "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
+    "x_bigram_lm_train",
     "ann_ivfpq_residual_topk",
     "audio_noise_augment",
     "ann_ivfpq_residual_trained",

@@ -398,3 +398,56 @@ def x_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("n_occurrences").desc(), "token"))
         .alias("vocab_id"),
     )
+
+
+@query(
+    "x_bigram_lm_train",
+    oracle="""
+    WITH bg AS (
+      SELECT substring(d.text, gs.i, 2) AS bigram
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, length(d.text) - 1))
+                    AS i) gs
+      WHERE length(d.text) >= 2),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    p AS (SELECT substring(bigram, 1, 1) AS c0, SUM(n) AS n0
+          FROM c GROUP BY c0)
+    SELECT c.bigram, CAST(c.n AS BIGINT) AS n,
+           ROUND(LN((c.n + 0.5) / (p.n0 + 0.5 * 64)), 6) AS logprob
+    FROM c JOIN p ON substring(c.bigram, 1, 1) = p.c0
+    """,
+)
+def x_bigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the QC perplexity model's character-bigram table as a
+    DISTRIBUTED job — the scale path for what qcflow/models.py trains
+    driver-side on a seed corpus: scan-fused character-pair explode
+    (sequence + substring, no Python), one map-side-combining count per
+    bigram, prefix totals re-aggregated from the ALREADY-REDUCED bigram
+    counts (alphabet² rows, not corpus rows), add-half smoothing to
+    log-probs. The prefix join is alphabet-sized — broadcast, no second
+    corpus shuffle. Rounded to 6 dp (a8's convention) so both engines'
+    LN agree despite last-ulp libm differences. At 10^12 docs the only
+    corpus-sized stage is the first count's map side; everything after
+    is alphabet-sized."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        "text",
+    ).select(F.expr("substring(text, i, 2)").alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    prefix = counts.groupBy(
+        F.substring("bigram", 1, 1).alias("c0")
+    ).agg(F.sum("n").alias("n0"))
+    return (
+        counts.join(
+            F.broadcast(prefix),
+            F.substring(F.col("bigram"), 1, 1) == F.col("c0"),
+        )
+        .select(
+            "bigram",
+            "n",
+            F.round(
+                F.log((F.col("n") + 0.5) / (F.col("n0") + 0.5 * 64)), 6
+            ).alias("logprob"),
+        )
+    )
