@@ -72,7 +72,8 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # audio_vad_segments; ann_ivfpq_topk out — r4-attested, the r5
 # batch-join/self-exclusion changes still exercised by the adc /
 # residual / residual_trained rows in-window — for the new
-# x_bigram_lm_train).
+# x_bigram_lm_train; ann_ivfpq_residual_topk out likewise — adc +
+# residual_trained stay — for the new x_langid_train).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -123,7 +124,7 @@ GATE_ORDER = [
     "audio_speed_perturb",
     "ann_pq_adc_topk",
     "x_bigram_lm_train",
-    "ann_ivfpq_residual_topk",
+    "x_langid_train",
     "audio_noise_augment",
     "ann_ivfpq_residual_trained",
     "x_rank_calibrated_trim",

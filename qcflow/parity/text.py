@@ -451,3 +451,61 @@ def x_bigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logprob"),
         )
     )
+
+
+@query(
+    "x_langid_train",
+    oracle="""
+    WITH tri AS (
+      SELECT d.lang,
+             (ascii(substring(d.text, gs.i, 1)) * 961
+              + ascii(substring(d.text, gs.i + 1, 1)) * 31
+              + ascii(substring(d.text, gs.i + 2, 1))) % 4096 AS h
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(1, length(d.text) - 2))
+                    AS i) gs
+      WHERE length(d.text) >= 3),
+    c AS (SELECT lang, h, COUNT(*) AS n FROM tri GROUP BY lang, h),
+    tot AS (SELECT lang, SUM(n) AS n_l FROM c GROUP BY lang)
+    SELECT c.lang, CAST(c.h AS INT) AS h, CAST(c.n AS BIGINT) AS n,
+           ROUND(LN((c.n + 1.0) / (tot.n_l + 4096.0)), 6) AS logprob
+    FROM c JOIN tot ON c.lang = tot.lang
+    """,
+)
+def x_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the langid trigram table as a DISTRIBUTED job — the scale
+    path for qcflow/models.py's driver-side seed training, same model
+    family: hashed trigrams ((b0*961 + b1*31 + b2) mod 4096, here via
+    ascii codes since the corpus is ASCII) -> per-(lang, bucket) counts
+    -> add-1-smoothed log P(trigram | lang). One corpus-sized
+    map-side-combining count; the per-lang totals re-aggregate the
+    ALREADY-REDUCED (lang, bucket) counts (at most langs x 4096 rows)
+    and join back broadcast — nothing after the first count touches
+    corpus-sized data. 6-dp rounding per the a8 convention so both
+    engines' LN agree."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    tri = docs.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        "text",
+    ).select(
+        "lang",
+        (
+            (
+                F.ascii(F.expr("substring(text, i, 1)")) * 961
+                + F.ascii(F.expr("substring(text, i + 1, 1)")) * 31
+                + F.ascii(F.expr("substring(text, i + 2, 1)"))
+            )
+            % 4096
+        ).alias("h"),
+    )
+    counts = tri.groupBy("lang", "h").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("lang").agg(F.sum("n").alias("n_l"))
+    return counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "h",
+        "n",
+        F.round(
+            F.log((F.col("n") + 1.0) / (F.col("n_l") + 4096.0)), 6
+        ).alias("logprob"),
+    )
