@@ -73,7 +73,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # batch-join/self-exclusion changes still exercised by the adc /
 # residual / residual_trained rows in-window — for the new
 # x_bigram_lm_train; ann_ivfpq_residual_topk out likewise — adc +
-# residual_trained stay — for the new x_langid_train).
+# residual_trained stay — for the new x_langid_train; doc_qc_summary
+# out — r4-attested AND re-run every round by the driver's entry()
+# smoke — for the new audio_band_features).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -113,7 +115,7 @@ GATE_ORDER = [
     "x_ecdf_aggregated",
     "x_ts_band_join",
     "doc_qc_flags",
-    "doc_qc_summary",
+    "audio_band_features",
     "pmis_qc_pipeline",
     "audio_quality_flags",
     "stream_exactly_once_qc",

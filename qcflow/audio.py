@@ -374,3 +374,35 @@ def noise_augment(
     rng = np.random.default_rng([seed, int(key) & 0x7FFFFFFFFFFFFFFF])
     y = x.astype(np.float64) + rng.normal(0.0, sigma, n)
     return np.clip(y, -1.0, 1.0).astype(np.float32)
+
+
+# ----------------------------------------------- band-energy features
+
+FEAT_BANDS = 16
+
+
+def band_features(x: np.ndarray, sr: int, bands: int = FEAT_BANDS) -> np.ndarray:
+    """Log band-energy feature vector — the FLOAT sibling of the hash
+    fingerprint (audio_fp64): one rFFT over the whole clip, energy
+    summed into ``bands`` log-spaced frequency bands (same 100 Hz ..
+    0.45*sr layout as the fingerprint), log10 with a 1e-12 floor,
+    float32. Deterministic pure numpy, so executor output is
+    bit-identical to build-time truth. The vector feeds the ANN family
+    (brute-force / IVF / PQ over audio-derived embeddings) the way the
+    64-bit fingerprint feeds the banded Hamming join. Too-short or
+    empty clips return the all-floor vector."""
+    n = len(x)
+    sr = int(sr) if sr and sr > 0 else 8000
+    out = np.full(bands, np.log10(1e-12), dtype=np.float64)
+    if n < 4:
+        return out.astype(np.float32)
+    spec = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+    n_bins = len(spec)
+    freqs = np.arange(n_bins, dtype=np.float64) * (sr / (2.0 * (n_bins - 1)))
+    f_lo, f_hi = 100.0, max(0.45 * sr, 400.0)
+    edges = np.exp(np.linspace(np.log(f_lo), np.log(f_hi), bands + 1))
+    idx = np.searchsorted(freqs, edges)
+    for b in range(bands):
+        lo, hi = idx[b], max(idx[b + 1], idx[b] + 1)
+        out[b] = np.log10(spec[lo:hi].sum() + 1e-12)
+    return out.astype(np.float32)

@@ -1710,3 +1710,98 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.md5(F.col("span_bytes")).alias("span_md5"),
     )
+
+
+# ------------------------------------------- band-feature extraction gate
+#
+# Construction truth for udfs.with_band_features: the float32 buffer of
+# the 16 log band energies is md5'd at build with the identical kernel
+# on the roundtripped bytes — any arithmetic drift (fft layout, band
+# edges, log floor) breaks the hash. The vector column is the bridge
+# into the ANN family: audio-derived embeddings searchable by the same
+# brute-force / IVF / PQ paths the embeddings table uses.
+
+N_BF = 140
+_BF_FIX = os.path.join(_DIR, "bandfeat_v1.parquet")
+_BF_TRUTH = os.path.join(_DIR, "bandfeat_truth_v1.parquet")
+
+
+def _materialize_bf() -> None:
+    if os.path.exists(_BF_FIX) and os.path.exists(_BF_TRUTH):
+        return
+    import hashlib
+
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows, truth = [], []
+    for i in range(N_BF):
+        rng = np.random.default_rng([515169, i])
+        sr = int(rng.choice([8000, 16000]))
+        regime = i % 7
+        if regime == 6:  # undecodable
+            if (i // 7) % 2 == 0:
+                rows.append(
+                    {"clip_id": i, "bytes": None, "sr_hz": sr, "codec": "pcm16"}
+                )
+            else:
+                rows.append(
+                    {"clip_id": i, "bytes": b"\x0c", "sr_hz": sr, "codec": "m4a"}
+                )
+            continue
+        if regime == 5:  # near-empty clip -> all-floor vector
+            n = int(rng.integers(0, 4))
+            x = np.zeros(n, dtype=np.float32)
+        else:
+            n = int(sr * float(rng.uniform(0.3, 0.9)))
+            t = np.arange(n) / sr
+            x = np.zeros(n)
+            for f in np.exp(rng.uniform(np.log(150.0), np.log(3000.0), 3)):
+                x = x + rng.uniform(0.08, 0.2) * np.sin(
+                    2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+                )
+            x = (x + rng.normal(0.0, 0.01, n)).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        b = _afp_encode(x, codec)
+        dec = audio.decode(b, codec)
+        rows.append({"clip_id": i, "bytes": b, "sr_hz": sr, "codec": codec})
+        v = audio.band_features(dec, sr)
+        truth.append(
+            {
+                "clip_id": i,
+                "n_dims": len(v),
+                "feat_md5": hashlib.md5(v.tobytes()).hexdigest(),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(_BF_FIX, index=False)
+    pd.DataFrame(truth).to_parquet(_BF_TRUTH, index=False)
+
+
+_materialize_bf()
+
+
+@query(
+    "audio_band_features",
+    oracle=f"""
+    SELECT clip_id, CAST(n_dims AS INT) AS n_dims, feat_md5
+    FROM '{_BF_TRUTH}'
+    """,
+)
+def audio_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio embedding extraction recovered THROUGH the bytes: decode ->
+    16 log band energies (float32) with the buffer md5-compared against
+    build-time truth from the identical kernel — bit-exact floats, not
+    rounded. Map-only at any scale, one Arrow crossing, md5 JVM-side;
+    the `feat` array<float> column this UDF also emits plugs audio
+    directly into the ANN family (brute force / IVF / PQ). Near-empty
+    clips yield the all-floor vector; undecodable rows contribute
+    nothing."""
+    from qcflow.udfs import with_band_features
+
+    _materialize_bf()
+    clips = spark.read.parquet(_BF_FIX)
+    return with_band_features(_decodable(clips)).select(
+        "clip_id",
+        F.size("feat").alias("n_dims"),
+        F.md5(F.col("feat_bytes")).alias("feat_md5"),
+    )

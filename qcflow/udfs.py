@@ -1062,3 +1062,46 @@ def with_vad_segments(df: DataFrame) -> DataFrame:
         F.col("_s.n_samples").alias("n_samples"),
         F.col("_s.span_bytes").alias("span_bytes"),
     )
+
+
+def with_band_features(df: DataFrame) -> DataFrame:
+    """Audio feature-vector extraction: decode -> 16 log band energies
+    (audio.band_features, float32) emitted BOTH as ``feat``
+    (array<float>, ready for the ANN family — brute force / IVF / PQ
+    over audio-derived embeddings) and as ``feat_bytes`` (the raw
+    float32 buffer, so the construction-truth gate can md5 it JVM-side
+    without the array ever crossing back to Python). Map-only, one
+    Arrow crossing; NULL bytes / unknown codec / undecodable payloads
+    yield NULLs."""
+
+    @F.pandas_udf("feat array<float>, feat_bytes binary")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats: list = [None] * len(pdf)
+            raw: list = [None] * len(pdf)
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                v = audio.band_features(x, sr_eff)
+                feats[i] = [float(t) for t in v]
+                raw[i] = v.tobytes()
+            yield pd.DataFrame(
+                {
+                    "feat": pd.Series(feats, dtype=object),
+                    "feat_bytes": pd.Series(raw, dtype=object),
+                }
+            )
+
+    out = df.withColumn("_bf", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select("*", "_bf.feat", "_bf.feat_bytes").drop("_bf")

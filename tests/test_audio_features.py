@@ -658,3 +658,39 @@ def test_with_vad_segments_spans_blips_and_nulls(spark):
         assert bytes(r["span_bytes"]) == audio.pcm16_encode(
             dec[s : s + r["n_samples"]]
         )
+
+
+def test_band_features_ann_bridge(spark):
+    """The feat vector bridges audio into the ANN family: a lightly
+    noised copy's band features are far closer (cosine) to the original
+    than a distinct clip's, and the md5 gate's buffer equals the array."""
+    from qcflow import audio
+    from qcflow.udfs import with_band_features
+
+    sr, n = 8000, 8000
+    rng = np.random.default_rng(21)
+    t = np.arange(n) / sr
+
+    def mix(seed):
+        r = np.random.default_rng(seed)
+        x = np.zeros(n)
+        for f in np.exp(r.uniform(np.log(200), np.log(3000), 3)):
+            x = x + 0.15 * np.sin(2 * np.pi * f * t + r.uniform(0, 6.28))
+        return x.astype(np.float32)
+
+    a = mix(1)
+    a_copy = (a + rng.normal(0, 0.005, n)).astype(np.float32)
+    c = mix(2)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(audio.pcm16_encode(a)), "pcm16", sr),
+            (1, bytearray(audio.pcm16_encode(a_copy)), "pcm16", sr),
+            (2, bytearray(audio.pcm16_encode(c)), "pcm16", sr),
+        ],
+        "clip_id int, bytes binary, codec string, sr_hz int",
+    )
+    got = {r["clip_id"]: r for r in with_band_features(df).collect()}
+    v = {k: np.array(r["feat"], dtype=np.float32) for k, r in got.items()}
+    assert np.frombuffer(bytes(got[0]["feat_bytes"]), dtype=np.float32).tolist() == v[0].tolist()
+    cos = lambda x, y: float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))  # noqa: E731
+    assert cos(v[0], v[1]) > cos(v[0], v[2]) + 0.05
