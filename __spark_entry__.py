@@ -75,7 +75,15 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # x_bigram_lm_train; ann_ivfpq_residual_topk out likewise — adc +
 # residual_trained stay — for the new x_langid_train; doc_qc_summary
 # out — r4-attested AND re-run every round by the driver's entry()
-# smoke — for the new audio_band_features).
+# smoke — for the new audio_band_features; third window: doc_qc_flags
+# out — r4-attested, its rule/scrub machinery re-run every round by the
+# entry() smoke (doc_qc_summary composes it) — for the new
+# audio_decontaminate; dedup_survivors out — r4-attested, CC machinery
+# unchanged, four dedup rows stay in-window — for the new
+# x_leakage_safe_split; audio_quality_flags out — r4-attested,
+# unchanged, its acoustic kernels re-attested in-window through the
+# snr/normalize/segment rows and every CLI --check-acoustics run — for
+# the new audio_speech_rate_qc).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -114,15 +122,15 @@ GATE_ORDER = [
     "x_grouping_sets_breakdown",
     "x_ecdf_aggregated",
     "x_ts_band_join",
-    "doc_qc_flags",
+    "audio_decontaminate",
     "audio_band_features",
     "pmis_qc_pipeline",
-    "audio_quality_flags",
+    "audio_speech_rate_qc",
     "stream_exactly_once_qc",
     "audio_segment_transcripts",
     "audio_vad_segments",
     "dedup_repeated_segment",
-    "dedup_survivors",
+    "x_leakage_safe_split",
     "audio_speed_perturb",
     "ann_pq_adc_topk",
     "x_bigram_lm_train",

@@ -1805,3 +1805,374 @@ def audio_band_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feat").alias("n_dims"),
         F.md5(F.col("feat_bytes")).alias("feat_md5"),
     )
+
+
+# ------------------------------------------- eval-set audio decontamination
+#
+# The audio twin of text_decontaminate (parity/text.py): clips whose
+# spectral fingerprint near-matches a held-out EVAL clip are benchmark
+# contamination and must be quarantined before training. Fixture: 24
+# eval clips + 180 corpus clips; the first 40 corpus rows are
+# transcoded / re-gained / noised copies of eval clips planted under the
+# dedup_audio_fp backoff ladder (last rung = original bytes, Hamming 0),
+# so recall 1 within the banded radius is guaranteed by construction.
+# Clean corpus rows (random content, incl. NULL-bytes / unknown-codec
+# regimes) are build-time ASSERTED to sit beyond the Hamming radius of
+# EVERY eval fingerprint — the oracle is then a pure truth-column
+# projection while Spark recovers the contamination set THROUGH the
+# bytes on both sides.
+
+N_DE_EVAL = 24
+N_DE_CONTAM = 40
+N_DE_CORPUS = 180
+_DE_OFF = 10_000
+_DECON_FIX = os.path.join(_DIR, "decon_v1.parquet")
+
+
+def _materialize_decon() -> None:
+    if os.path.exists(_DECON_FIX):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+
+    def _synth(seed_i: int):
+        rng = np.random.default_rng([515177, seed_i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.4, 0.9)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3200.0), 3)):
+            x = x + rng.uniform(0.08, 0.2) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.01, n)).astype(np.float32)
+        codec = "pcm16" if seed_i % 2 == 0 else "ulaw"
+        return x, sr, codec
+
+    rows = []
+    eval_fps = []
+    eval_src = []
+    for i in range(N_DE_EVAL):
+        x, sr, codec = _synth(i)
+        b = _afp_encode(x, codec)
+        eval_fps.append(audio.audio_fp64(audio.decode(b, codec), sr))
+        eval_src.append((x, sr, codec, b))
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "is_eval": True,
+                "contam_eval_id": None,
+                "t_hamming": None,
+            }
+        )
+    for j in range(N_DE_CORPUS):
+        cid = _DE_OFF + j
+        if j < N_DE_CONTAM:
+            src = j % N_DE_EVAL
+            x, sr, codec, b = eval_src[src]
+            other = "ulaw" if codec == "pcm16" else "pcm16"
+            for cc, amp, gain in (
+                (other, 0.008, 0.8),
+                (codec, 0.008, 0.8),
+                (codec, 0.003, 1.0),
+                (codec, 0.001, 1.0),
+                (codec, 0.0, 1.0),
+            ):
+                nrng = np.random.default_rng([515178, j])
+                cp = gain * x + (nrng.normal(0.0, amp, len(x)) if amp > 0 else 0.0)
+                cb = (
+                    b
+                    if (cc == codec and amp == 0.0 and gain == 1.0)
+                    else _afp_encode(cp.astype(np.float32), cc)
+                )
+                fp = audio.audio_fp64(audio.decode(cb, cc), sr)
+                ham = audio.fp_hamming(eval_fps[src], fp)
+                if ham <= _AFP_HAM_MAX:
+                    break
+            # the copy must hit ONLY its source eval clip inside the radius
+            for k, efp in enumerate(eval_fps):
+                if k != src:
+                    assert audio.fp_hamming(efp, fp) > _AFP_HAM_MAX
+            rows.append(
+                {
+                    "clip_id": cid,
+                    "bytes": cb,
+                    "codec": cc,
+                    "sr_hz": sr,
+                    "is_eval": False,
+                    "contam_eval_id": src,
+                    "t_hamming": ham,
+                }
+            )
+            continue
+        plant = "" if j % 9 else "no_bytes" if j % 18 else "bad_codec"
+        x, sr, codec = _synth(1_000 + j)
+        b = _afp_encode(x, codec)
+        if plant == "":
+            fp = audio.audio_fp64(audio.decode(b, codec), sr)
+            for efp in eval_fps:
+                assert audio.fp_hamming(efp, fp) > _AFP_HAM_MAX
+        rows.append(
+            {
+                "clip_id": cid,
+                "bytes": None if plant == "no_bytes" else b,
+                "codec": "opus" if plant == "bad_codec" else codec,
+                "sr_hz": sr,
+                "is_eval": False,
+                "contam_eval_id": None,
+                "t_hamming": None,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("contam_eval_id", "t_hamming"):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf.to_parquet(_DECON_FIX, index=False)
+
+
+_materialize_decon()
+
+
+@query(
+    "audio_decontaminate",
+    oracle=f"""
+    SELECT clip_id,
+           CAST(contam_eval_id AS BIGINT) AS eval_id,
+           CAST(t_hamming AS INT) AS hamming
+    FROM '{_DECON_FIX}'
+    WHERE contam_eval_id IS NOT NULL AND t_hamming <= {_AFP_HAM_MAX}
+    """,
+)
+def audio_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination for the AUDIO modality (the twin of
+    text_decontaminate): corpus clips whose 64-bit spectral fingerprint
+    sits within Hamming 3 of any held-out eval clip are
+    flagged with the eval row they collide with. The eval set is
+    dimension-sized at any corpus scale, so its (band, bucket, fp) rows
+    are BROADCAST — the plan is corpus scan -> one Arrow fp crossing ->
+    4-way band explode -> broadcast hash join -> exact Hamming filter;
+    the corpus never shuffles and clip bytes never leave the scan task.
+    Hamming <= 3 over 4x16 bands guarantees a shared clean band
+    (pigeonhole), so banded recall is 1 within the radius. NULL-bytes /
+    unknown-codec corpus rows yield NULL fingerprints and never join."""
+    from qcflow.udfs import with_audio_fp
+
+    _materialize_decon()
+    clips = spark.read.parquet(_DECON_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz", "is_eval"
+    )
+
+    def _bands(fp_df: DataFrame, idc: str, fpc: str) -> DataFrame:
+        return fp_df.select(
+            idc,
+            fpc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(jj).alias("band"),
+                            F.expr(
+                                f"({fpc} >> {jj * _AFP_BAND_BITS})"
+                                f" & {(1 << _AFP_BAND_BITS) - 1}"
+                            ).alias("bucket"),
+                        )
+                        for jj in range(_AFP_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idc, fpc, "bb.band", "bb.bucket")
+
+    evalf = with_audio_fp(
+        _decodable(clips.filter(F.col("is_eval")))
+    ).select(
+        F.col("clip_id").alias("eval_id"), F.col("audio_fp").alias("eval_fp")
+    )
+    corp = with_audio_fp(
+        _decodable(clips.filter(~F.col("is_eval")))
+    ).select("clip_id", "audio_fp")
+    ham = F.bit_count(F.expr("audio_fp ^ eval_fp")).cast("int")
+    return (
+        _bands(corp, "clip_id", "audio_fp")
+        .join(F.broadcast(_bands(evalf, "eval_id", "eval_fp")), ["band", "bucket"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _AFP_HAM_MAX)
+        .select("clip_id", "eval_id", "hamming")
+        .dropDuplicates(["clip_id", "eval_id"])
+    )
+
+
+# --------------------------------------------- cross-modal speech-rate QC
+#
+# Words-per-voiced-second consistency between the AUDIO payload and its
+# transcript — the cross-modal sanity rule ASR corpora filter on (a
+# 20-word transcript over 0.1 s of speech is a mislabeled row even when
+# both sides pass their single-modal checks). voiced_samples comes
+# THROUGH the bytes (decode -> voiced_spans, the with_vad_segments
+# kernel reduced to a scalar); the word count and the rate arithmetic
+# are pure column expressions identical in both engines, so the oracle
+# recomputes rate/status in SQL from the fixture's kernel-derived
+# t_voiced_samples truth column. Regimes: normal / too-fast (planted
+# rate >= 16x the threshold margin) / too-slow / silent-audio-with-
+# nonempty-transcript (no_speech) / undecodable (excluded via truth
+# flag). Build-time asserts pin every planted rate far from both cut
+# points.
+
+N_SRATE = 150
+RATE_FAST_WPS = 8.0
+RATE_SLOW_WPS = 0.5
+_SRATE_FIX = os.path.join(_DIR, "sprate_v1.parquet")
+
+
+def _materialize_srate() -> None:
+    if os.path.exists(_SRATE_FIX):
+        return
+    from qcflow import audio
+    from qcflow.udfs import voiced_spans
+
+    os.makedirs(_DIR, exist_ok=True)
+    rows = []
+    for i in range(N_SRATE):
+        rng = np.random.default_rng([515181, i])
+        sr = int(rng.choice([8000, 16000]))
+        regime = i % 5
+        if regime == 0:  # normal: ~70% voiced, ~3 words/s
+            total, v0, v1 = 2.0, 0.3, 1.7
+            n_words = 4
+        elif regime == 1:  # too fast: 0.12 s voiced, 20 words
+            total, v0, v1 = 2.0, 0.5, 0.62
+            n_words = 20
+        elif regime == 2:  # too slow: 4 s voiced, 1 word
+            total, v0, v1 = 4.2, 0.1, 4.1
+            n_words = 1
+        elif regime == 3:  # silent audio, non-empty transcript
+            total, v0, v1 = 2.0, 0.0, 0.0
+            n_words = 5
+        else:  # undecodable
+            rows.append(
+                {
+                    "clip_id": i,
+                    "bytes": None if (i // 5) % 2 == 0 else b"\x07",
+                    "codec": "pcm16" if (i // 5) % 2 == 0 else "m4a",
+                    "sr_hz": sr,
+                    "transcript": "w0 w1",
+                    "t_voiced_samples": None,
+                    "t_n_spans": None,
+                    "decodable": False,
+                }
+            )
+            continue
+        n = int(sr * total)
+        x = np.zeros(n, dtype=np.float32)
+        if v1 > v0:
+            a, b_ = int(sr * v0), int(sr * v1)
+            t = np.arange(b_ - a) / sr
+            f = float(rng.uniform(200.0, 1200.0))
+            x[a:b_] = (
+                0.3 * np.sin(2 * np.pi * f * t)
+                + rng.normal(0.0, 0.02, b_ - a)
+            ).astype(np.float32)
+        codec = "pcm16" if i % 2 == 0 else "ulaw"
+        b = _afp_encode(x, codec)
+        spans = voiced_spans(audio.decode(b, codec), sr)
+        vs = int(sum(e - s for s, e in spans))
+        if regime == 3:
+            assert vs == 0
+        else:
+            rate = n_words * float(sr) / vs
+            if regime == 0:
+                assert 1.0 < rate < 6.0, (i, rate)
+            elif regime == 1:
+                assert rate > 4 * RATE_FAST_WPS, (i, rate)
+            else:
+                assert rate < RATE_SLOW_WPS / 1.5, (i, rate)
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "transcript": " ".join(f"w{k}" for k in range(n_words)),
+                "t_voiced_samples": vs,
+                "t_n_spans": len(spans),
+                "decodable": True,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("t_voiced_samples",):
+        pdf[c] = pdf[c].astype("Int64")
+    pdf["t_n_spans"] = pdf["t_n_spans"].astype("Int32")
+    pdf.to_parquet(_SRATE_FIX, index=False)
+
+
+_materialize_srate()
+
+_SRATE_WORDS_SQL = (
+    "len(list_filter(string_split(trim(transcript), ' '), x -> x <> ''))"
+)
+
+
+@query(
+    "audio_speech_rate_qc",
+    oracle=f"""
+    SELECT clip_id,
+           CAST(t_voiced_samples AS BIGINT) AS voiced_samples,
+           CAST({_SRATE_WORDS_SQL} AS INT) AS n_words,
+           CASE WHEN t_voiced_samples > 0
+                THEN (CAST({_SRATE_WORDS_SQL} AS DOUBLE) * sr_hz)
+                     / t_voiced_samples
+                END AS rate_wps,
+           CASE WHEN t_voiced_samples = 0
+                     AND {_SRATE_WORDS_SQL} > 0 THEN 'no_speech'
+                WHEN (CAST({_SRATE_WORDS_SQL} AS DOUBLE) * sr_hz)
+                     / t_voiced_samples > {RATE_FAST_WPS} THEN 'too_fast'
+                WHEN (CAST({_SRATE_WORDS_SQL} AS DOUBLE) * sr_hz)
+                     / t_voiced_samples < {RATE_SLOW_WPS} THEN 'too_slow'
+                ELSE 'ok' END AS status
+    FROM '{_SRATE_FIX}'
+    WHERE decodable
+    """,
+)
+def audio_speech_rate_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal speech-rate QC: decode -> voiced_spans -> total
+    voiced samples (one Arrow crossing, scalar columns out — no span
+    payloads), then words-per-voiced-second and a status flag as pure
+    column arithmetic (JVM codegen). Map-only at any scale: no shuffle,
+    no driver traffic; the transcript side (word count) never touches
+    Python. Rates: > 8 w/s too_fast, < 0.5 w/s too_slow, silent audio
+    with a non-empty transcript no_speech. NULL-bytes / unknown-codec
+    rows are pre-filtered on scan columns (the _decodable discipline —
+    filtering on the UDF's own output would clone the Arrow node)."""
+    from qcflow.udfs import with_voiced_stats
+
+    _materialize_srate()
+    clips = spark.read.parquet(_SRATE_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz", "transcript"
+    )
+    stats = with_voiced_stats(_decodable(clips))
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("transcript")), " "),
+            lambda x: x != F.lit(""),
+        )
+    )
+    rate = (
+        n_words.cast("double")
+        * F.col("sr_hz")
+        / F.col("voiced_samples")
+    )
+    return stats.select(
+        "clip_id",
+        "voiced_samples",
+        n_words.cast("int").alias("n_words"),
+        F.when(F.col("voiced_samples") > 0, rate).alias("rate_wps"),
+        F.when(
+            (F.col("voiced_samples") == 0) & (n_words > 0), F.lit("no_speech")
+        )
+        .when(rate > RATE_FAST_WPS, F.lit("too_fast"))
+        .when(rate < RATE_SLOW_WPS, F.lit("too_slow"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

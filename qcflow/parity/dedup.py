@@ -681,3 +681,73 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_text"),
         )
     )
+
+
+# -------------------------------------------- leakage-safe split assignment
+#
+# Train/dev/test assignment that is DUP-GROUP-ATOMIC: every member of an
+# exact-duplicate group lands in the same split, so a training document
+# can never leak into dev/test as its own verbatim copy (the standard
+# eval-integrity requirement downstream of dedup). The split coin is the
+# shared multiplicative hash (advanced_ops.HASH_P/K — identical integer
+# arithmetic in Spark and DuckDB) of the group REPRESENTATIVE (min
+# doc_id), so assignment is deterministic across runs, partitionings and
+# engines, and adding non-duplicate documents never reassigns existing
+# groups.
+
+_SPLIT_TRAIN, _SPLIT_DEV = 80, 90  # percent cut points
+
+
+def _split_sql() -> str:
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    h = f"(((rep_id % {HASH_P}) * {HASH_K}) % {HASH_P}) % 100"
+    return f"""
+    WITH corpus AS ({_SQL_CORPUS_EXACT}),
+    g AS (
+      SELECT text, MIN(doc_id) AS rep_id,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM corpus GROUP BY text
+    )
+    SELECT c.doc_id, g.rep_id, g.group_size,
+           CASE WHEN {h} < {_SPLIT_TRAIN} THEN 'train'
+                WHEN {h} < {_SPLIT_DEV} THEN 'dev'
+                ELSE 'test' END AS split
+    FROM corpus c JOIN g ON c.text = g.text
+    """
+
+
+@query("x_leakage_safe_split", oracle=_split_sql())
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/dev/test split: group by exact content, pick
+    the min-id representative, hash IT for the split coin, and join the
+    assignment back to every member — duplicates can never straddle the
+    eval boundary. Plan at 10^12 docs: group on xxhash64(text) (8-byte
+    shuffle keys, full text compared only within colliding groups, as in
+    dedup_exact), then ONE shuffle join back on the same key; groupBy
+    (map-side combine) + join rather than a window so a viral document's
+    million-copy group never buffers on one reducer. Extends naturally
+    to near-dup groups by substituting dedup_survivors' cluster id for
+    the content key."""
+    corpus = _corpus_exact(spark, sf_dir)
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    groups = corpus.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_size")
+    )
+    coin = F.pmod(
+        F.pmod(F.pmod(F.col("rep_id"), F.lit(HASH_P)) * F.lit(HASH_K), F.lit(HASH_P)),
+        F.lit(100),
+    )
+    return (
+        corpus.join(groups, "text")
+        .select(
+            "doc_id",
+            "rep_id",
+            "group_size",
+            F.when(coin < _SPLIT_TRAIN, F.lit("train"))
+            .when(coin < _SPLIT_DEV, F.lit("dev"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

@@ -1105,3 +1105,46 @@ def with_band_features(df: DataFrame) -> DataFrame:
 
     out = df.withColumn("_bf", _udf(F.struct("bytes", "codec", "sr_hz")))
     return out.select("*", "_bf.feat", "_bf.feat_bytes").drop("_bf")
+
+
+def with_voiced_stats(df: DataFrame) -> DataFrame:
+    """Voiced-duration statistics per clip: decode -> voiced_spans ->
+    ``voiced_samples`` (total samples inside voiced spans) and
+    ``n_spans``. The scalar reduction of with_vad_segments — what
+    cross-modal consistency rules (speech rate vs transcript length)
+    key on without ever shipping span payloads. Map-only, one Arrow
+    crossing; NULL bytes / unknown codec / undecodable payloads yield
+    NULLs (rules never fire on NULL)."""
+
+    @F.pandas_udf("voiced_samples long, n_spans int")
+    def _udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vs: list = [None] * len(pdf)
+            ns: list = [None] * len(pdf)
+            for i, (b, codec, sr) in enumerate(
+                zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"])
+            ):
+                if b is None or codec not in audio.KNOWN_CODECS:
+                    continue
+                try:
+                    x = audio.decode(bytes(b), codec)
+                    sr_eff = (
+                        int(sr)
+                        if sr is not None and int(sr) in audio.VALID_SR
+                        else 8000
+                    )
+                except (ValueError, TypeError):
+                    continue
+                spans = voiced_spans(x, sr_eff)
+                # python-int accumulation (never float64 staging)
+                vs[i] = int(sum(e - s for s, e in spans))
+                ns[i] = len(spans)
+            yield pd.DataFrame(
+                {
+                    "voiced_samples": pd.Series(vs, dtype="Int64"),
+                    "n_spans": pd.Series(ns, dtype="Int32"),
+                }
+            )
+
+    out = df.withColumn("_vstat", _udf(F.struct("bytes", "codec", "sr_hz")))
+    return out.select("*", "_vstat.voiced_samples", "_vstat.n_spans").drop("_vstat")

@@ -133,3 +133,58 @@ def test_epoch_shuffle_partition_invariance(spark, sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(pd_a, pd_b)
+
+
+def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
+    """Every exact-dup group lands in ONE split; rates roughly follow
+    the 80/10/10 cut points; assignment is deterministic across runs."""
+    from qcflow.parity.dedup import x_leakage_safe_split
+
+    pdf = x_leakage_safe_split(spark, sf_dir).toPandas()
+    dup = pdf[pdf.group_size > 1]
+    assert len(dup) > 0, "fixture lost its planted duplicate groups"
+    assert (dup.groupby("rep_id")["split"].nunique() == 1).all()
+    counts = pdf.drop_duplicates("rep_id")["split"].value_counts()
+    assert counts.get("train", 0) > counts.get("dev", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+    again = x_leakage_safe_split(spark, sf_dir).toPandas()
+    assert pdf.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_audio_decontaminate_recall_and_precision(spark):
+    """All planted contaminated copies are recovered (recall 1 by the
+    backoff-ladder construction) and no clean corpus row is flagged
+    (clean rows are build-time asserted beyond the Hamming radius)."""
+    import pandas as pd
+
+    from qcflow.parity.audio_q import _DECON_FIX, N_DE_CONTAM, audio_decontaminate
+
+    got = audio_decontaminate(spark, "/root/testdata/sf0.001").toPandas()
+    truth = pd.read_parquet(_DECON_FIX)
+    planted = truth[truth.contam_eval_id.notna()]
+    assert len(planted) == N_DE_CONTAM
+    assert len(got) == N_DE_CONTAM
+    m = got.merge(
+        planted, left_on="clip_id", right_on="clip_id", how="inner"
+    )
+    assert len(m) == N_DE_CONTAM
+    assert (m.eval_id == m.contam_eval_id).all()
+    assert (m.hamming == m.t_hamming).all()
+
+
+def test_speech_rate_qc_regimes(spark):
+    """Every planted regime lands on its flag: normal->ok, 0.12 s
+    voiced + 20 words->too_fast, 4 s voiced + 1 word->too_slow, silent
+    audio + non-empty transcript->no_speech; undecodable rows excluded."""
+    from qcflow.parity.audio_q import audio_speech_rate_qc
+
+    pdf = audio_speech_rate_qc(spark, "/root/testdata/sf0.001").toPandas()
+    by_regime = {r: pdf[pdf.clip_id % 5 == r] for r in range(4)}
+    assert (by_regime[0].status == "ok").all()
+    assert (by_regime[1].status == "too_fast").all()
+    assert (by_regime[2].status == "too_slow").all()
+    assert (by_regime[3].status == "no_speech").all()
+    assert by_regime[3].rate_wps.isna().all()
+    assert (pdf.clip_id % 5 != 4).all(), "undecodable rows must be excluded"

@@ -480,3 +480,29 @@ def test_repeated_segment_ships_fp_only_one_exchange(spark):
     ex = p[p.index("Exchange") :][:300]
     assert "bytes" not in ex, ex
     assert "rangepartitioning" not in p.lower(), p
+
+
+def test_audio_decontaminate_broadcasts_eval_set(spark):
+    """Eval-set decontamination must BROADCAST the (dimension-sized)
+    eval fingerprints — the corpus side never shuffles before the join —
+    pair candidates via a hash join on (band, bucket), decode each side
+    exactly once (two ArrowEvalPython nodes), and ship 8-byte
+    fingerprints through the join, never clip bytes."""
+    p = plan_of(QUERIES["audio_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython (") == 2, p
+    join_on = p[p.index("Join") :][:400] if "Join" in p else p
+    assert "bytes" not in join_on, join_on
+
+
+def test_speech_rate_qc_is_map_only(spark):
+    """Speech-rate QC is a single-Arrow-crossing map job: no Exchange
+    (payloads never shuffle), one Python node (the scalar voiced-stats
+    UDF), and the word-count / rate / status arithmetic stays JVM-side."""
+    p = plan_of(QUERIES["audio_speech_rate_qc"](spark, SF))
+    assert "Exchange" not in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython (") == 1, p
+    assert "BatchEvalPython" not in p, p
