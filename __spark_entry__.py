@@ -83,7 +83,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # x_leakage_safe_split; audio_quality_flags out — r4-attested,
 # unchanged, its acoustic kernels re-attested in-window through the
 # snr/normalize/segment rows and every CLI --check-acoustics run — for
-# the new audio_speech_rate_qc).
+# the new audio_speech_rate_qc; stream_exactly_once_qc out —
+# r4-attested, streaming unchanged since, suite + sweep still cover it
+# — for the new x_bpe_train).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -126,7 +128,7 @@ GATE_ORDER = [
     "audio_band_features",
     "pmis_qc_pipeline",
     "audio_speech_rate_qc",
-    "stream_exactly_once_qc",
+    "x_bpe_train",
     "audio_segment_transcripts",
     "audio_vad_segments",
     "dedup_repeated_segment",

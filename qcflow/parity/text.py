@@ -9,6 +9,8 @@ the clip table (qcflow.udfs); this heuristic is the SQL-expressible tier.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -509,3 +511,110 @@ def x_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("n") + 1.0) / (F.col("n_l") + 4096.0)), 6
         ).alias("logprob"),
     )
+
+
+# -------------------------------------------- distributed BPE training
+#
+# The tokenizer-TRAINING job (Sennrich et al. 2016) as a Spark loop:
+# one corpus-sized word count, then every merge round is
+# vocabulary-sized (adjacent-pair explode over word TYPES weighted by
+# count, one-row argmax collect, JVM-side fold merge — qcflow/bpe.py).
+# Construction truth: a planted corpus whose per-round winning pair
+# beats the runner-up by >= 2 occurrences for every round (asserted at
+# build via the driver-side twin), so integer-exact engines can never
+# disagree on any merge; the oracle reads the truth merge table while
+# Spark re-derives it through the corpus.
+
+_BPE_ROUNDS = 12
+_BPE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "text_qc",
+)
+_BPE_FIX = os.path.join(_BPE_DIR, "bpe_corpus_v1.parquet")
+_BPE_TRUTH = os.path.join(_BPE_DIR, "bpe_truth_v1.parquet")
+
+
+def _materialize_bpe() -> None:
+    import numpy as np
+    import pandas as pd
+
+    if os.path.exists(_BPE_FIX) and os.path.exists(_BPE_TRUTH):
+        return
+    from qcflow.bpe import bpe_train_py, margin_at_round
+
+    os.makedirs(_BPE_DIR, exist_ok=True)
+    alphabet = "abcde"
+    for seed in range(200):
+        rng = np.random.default_rng([515190, seed])
+        n_types = 40
+        words, seen = [], set()
+        while len(words) < n_types:
+            ln = int(rng.integers(3, 7))
+            w = "".join(alphabet[k] for k in rng.integers(0, 5, ln))
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+        counts = {w: int(997 - 23 * i) for i, w in enumerate(words)}
+        merges = bpe_train_py(counts, rounds=_BPE_ROUNDS)
+        if len(merges) < _BPE_ROUNDS:
+            continue
+        try:
+            gaps = margin_at_round(counts, merges)
+        except AssertionError:
+            continue
+        if min(gaps) >= 2:
+            break
+    else:  # pragma: no cover — the search space makes this unreachable
+        raise RuntimeError("no BPE fixture seed with per-round margin >= 2")
+    # round-robin the word occurrences into documents
+    n_docs = 60
+    docs: list[list[str]] = [[] for _ in range(n_docs)]
+    slot = 0
+    for w, c in counts.items():
+        for _ in range(c):
+            docs[slot % n_docs].append(w)
+            slot += 1
+    pd.DataFrame(
+        {"doc_id": range(n_docs), "text": [" ".join(d) for d in docs]}
+    ).to_parquet(_BPE_FIX, index=False)
+    tr = pd.DataFrame(merges)
+    tr["n"] = tr["n"].astype("int64")
+    tr["round"] = tr["round"].astype("int32")
+    tr.to_parquet(_BPE_TRUTH, index=False)
+
+
+_materialize_bpe()
+
+
+@query(
+    "x_bpe_train",
+    oracle=f"""
+    SELECT CAST("round" AS INT) AS round, "left" AS pair_left,
+           "right" AS pair_right, merged, CAST(n AS BIGINT) AS n
+    FROM '{_BPE_TRUTH}'
+    """,
+)
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training recovered THROUGH the corpus:
+    one corpus-sized word-type count, then 12 merge rounds each
+    vocabulary-sized — pair counting is a scan-fused explode +
+    map-side-combining sum over word TYPES, the argmax is a one-row
+    collect (scalar-only driver traffic), and the merge applies as a
+    JVM-side aggregate fold with localCheckpoint keeping the loop
+    lineage flat (qcflow/bpe.py). The fixture plants >= 2-count margins
+    between winner and runner-up at every round, so the integer-exact
+    argmax can never flip; the oracle reads the build-time twin's merge
+    table."""
+    import pandas as pd
+
+    from qcflow.bpe import bpe_train
+
+    _materialize_bpe()
+    corpus = spark.read.parquet(_BPE_FIX)
+    merges = bpe_train(corpus, "text", rounds=_BPE_ROUNDS)
+    pdf = pd.DataFrame(merges)[["round", "left", "right", "merged", "n"]]
+    pdf.columns = ["round", "pair_left", "pair_right", "merged", "n"]
+    pdf["round"] = pdf["round"].astype("int32")
+    pdf["n"] = pdf["n"].astype("int64")
+    return spark.createDataFrame(pdf)
