@@ -85,7 +85,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # snr/normalize/segment rows and every CLI --check-acoustics run — for
 # the new audio_speech_rate_qc; stream_exactly_once_qc out —
 # r4-attested, streaming unchanged since, suite + sweep still cover it
-# — for the new x_bpe_train).
+# — for the new x_bpe_train; pmis_qc_pipeline out — r4-attested,
+# unchanged since, its P/J/A kernels each have in-window or r4 rows and
+# the pandas-twin suite re-runs every round — for the new
+# x_bpe_encode).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -126,7 +129,7 @@ GATE_ORDER = [
     "x_ts_band_join",
     "audio_decontaminate",
     "audio_band_features",
-    "pmis_qc_pipeline",
+    "x_bpe_encode",
     "audio_speech_rate_qc",
     "x_bpe_train",
     "audio_segment_transcripts",

@@ -19,6 +19,9 @@ only driver traffic is the per-round argmax row.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,3 +193,123 @@ def margin_at_round(word_counts: dict[str, int], merges: list[dict]) -> list[int
             new_wt[key] = new_wt.get(key, 0) + c
         wt = new_wt
     return gaps
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained merge table to a corpus: (id, n_words, n_tokens,
+    token_stream). Words explode scan-side, every merge applies as a
+    chained JVM fold (Catalyst collapses the projections — one codegen
+    stage, no Python), and the only shuffle is the per-document regroup
+    (order restored via the posexplode index, the alignment-regroup
+    pattern). LITERAL-expression path — right for merge tables up to a
+    few dozen rounds (the fixture/gate scale); production vocabularies
+    (32k merges) go through ``bpe_encode_udf``, the broadcast-ranks
+    strategy (same ann.py lesson: literal expression trees have real
+    analysis-time ceilings)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    words = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    ).withColumn("syms", _chars("word"))
+    out = words
+    for m in merges:
+        out = out.withColumn("syms", _merge_fold("syms", m["left"], m["right"]))
+    return (
+        out.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "syms"))
+                        ),
+                        lambda s: s["syms"],
+                    )
+                ),
+                " ",
+            ).alias("token_stream"),
+        )
+        .withColumn("n_words", F.col("n_words").cast("int"))
+    )
+
+
+def encode_word_py(word: str, merges: list[dict]) -> list[str]:
+    """Driver-side single-word encoder: apply merges in RANK order with
+    the same greedy left-to-right fold as ``_merge_fold`` — the twin
+    both fixture builds and ``bpe_encode_udf`` share."""
+    syms = list(word)
+    for m in merges:
+        left, right = m["left"], m["right"]
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode_udf(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-scale encoder: the merge table ships once per executor
+    (closure broadcast; at 32k merges that is a few hundred KB), words
+    encode inside an Arrow-batched pandas UDF with a per-batch word
+    cache (Zipf corpora re-encode the same types constantly), and the
+    output schema matches ``bpe_encode`` exactly — a test pins the two
+    paths equal. Map-only until the same per-document regroup."""
+    mseq = [(m["left"], m["right"]) for m in merges]
+
+    @F.pandas_udf("array<string>")
+    def _enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+
+        def one(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for left, right in mseq:
+                    out: list[str] = []
+                    for s in syms:
+                        if out and out[-1] == left and s == right:
+                            out[-1] = left + right
+                        else:
+                            out.append(s)
+                    syms = out
+                got = cache[w] = syms
+            return got
+
+        for words in it:
+            yield words.map(one)
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    words = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    ).withColumn("syms", _enc("word"))
+    return (
+        words.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                        lambda s: s["syms"],
+                    )
+                ),
+                " ",
+            ).alias("token_stream"),
+        )
+        .withColumn("n_words", F.col("n_words").cast("int"))
+    )

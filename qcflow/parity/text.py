@@ -618,3 +618,67 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf["round"] = pdf["round"].astype("int32")
     pdf["n"] = pdf["n"].astype("int64")
     return spark.createDataFrame(pdf)
+
+
+_BPE_ENC_TRUTH = os.path.join(_BPE_DIR, "bpe_enc_truth_v1.parquet")
+
+
+def _materialize_bpe_enc() -> None:
+    import pandas as pd
+
+    if os.path.exists(_BPE_ENC_TRUTH):
+        return
+    from qcflow.bpe import encode_word_py
+
+    _materialize_bpe()
+    corpus = pd.read_parquet(_BPE_FIX)
+    merges = pd.read_parquet(_BPE_TRUTH).to_dict("records")
+    rows = []
+    for r in corpus.itertuples():
+        words = [w for w in r.text.split(" ") if w]
+        toks: list[str] = []
+        for w in words:
+            toks.extend(encode_word_py(w, merges))
+        rows.append(
+            {
+                "doc_id": r.doc_id,
+                "n_words": len(words),
+                "n_tokens": len(toks),
+                "token_stream": " ".join(toks),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["n_words"] = pdf["n_words"].astype("int32")
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    pdf.to_parquet(_BPE_ENC_TRUTH, index=False)
+
+
+_materialize_bpe_enc()
+
+
+@query(
+    "x_bpe_encode",
+    oracle=f"""
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens, token_stream
+    FROM '{_BPE_ENC_TRUTH}'
+    """,
+)
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merge table (the inference half of
+    x_bpe_train): words explode scan-side, all 12 merges apply as
+    chained JVM folds collapsed into one codegen projection — no Python
+    — and the only shuffle is the per-document regroup (order restored
+    via the posexplode index). The oracle is the build-time twin's
+    encoding of the same corpus with the same merge table; a unit test
+    additionally pins this literal-expression path byte-equal to
+    bpe_encode_udf, the broadcast-ranks strategy production
+    vocabularies (32k merges) dispatch to."""
+    import pandas as pd
+
+    from qcflow.bpe import bpe_encode
+
+    _materialize_bpe_enc()
+    merges = pd.read_parquet(_BPE_TRUTH).to_dict("records")
+    corpus = spark.read.parquet(_BPE_FIX)
+    return bpe_encode(corpus, merges)

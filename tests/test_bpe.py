@@ -99,3 +99,38 @@ def test_bpe_fixture_margins(spark):
     gaps = margin_at_round(counts, merges)
     assert len(merges) == _BPE_ROUNDS
     assert min(gaps) >= 2, gaps
+
+
+def test_bpe_encode_literal_and_udf_paths_agree(spark):
+    """The literal-fold encoder (gate path) and the broadcast-ranks
+    pandas-UDF encoder (production-vocabulary path) produce identical
+    output on the fixture corpus."""
+    import pandas as pd
+
+    from qcflow.bpe import bpe_encode, bpe_encode_udf
+    from qcflow.parity.text import _BPE_FIX, _BPE_TRUTH, _materialize_bpe
+
+    _materialize_bpe()
+    merges = pd.read_parquet(_BPE_TRUTH).to_dict("records")
+    corpus = spark.read.parquet(_BPE_FIX)
+    a = bpe_encode(corpus, merges).toPandas().sort_values("doc_id")
+    b = bpe_encode_udf(corpus, merges).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_bpe_encode_literal_path_has_no_python(spark):
+    """The literal encode path stays JVM-side end to end (the chained
+    folds collapse into codegen projections); exactly one Exchange (the
+    per-document regroup)."""
+    import pandas as pd
+
+    from qcflow.bpe import bpe_encode
+    from qcflow.parity.text import _BPE_FIX, _BPE_TRUTH, _materialize_bpe
+    from tests.test_plans import plan_of
+
+    _materialize_bpe()
+    merges = pd.read_parquet(_BPE_TRUTH).to_dict("records")
+    p = plan_of(bpe_encode(spark.read.parquet(_BPE_FIX), merges))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, p
