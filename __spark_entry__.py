@@ -88,7 +88,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # — for the new x_bpe_train; pmis_qc_pipeline out — r4-attested,
 # unchanged since, its P/J/A kernels each have in-window or r4 rows and
 # the pandas-twin suite re-runs every round — for the new
-# x_bpe_encode).
+# x_bpe_encode; ann_ivfpq_residual_trained out — r4-attested, the r5
+# batch-search changes stay attested via ann_pq_adc_topk in-window —
+# for the new dedup_best_survivor).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
 # remain sweep-verified every round.
@@ -141,7 +143,7 @@ GATE_ORDER = [
     "x_bigram_lm_train",
     "x_langid_train",
     "audio_noise_augment",
-    "ann_ivfpq_residual_trained",
+    "dedup_best_survivor",
     "x_rank_calibrated_trim",
 ]
 

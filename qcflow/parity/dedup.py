@@ -751,3 +751,82 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ----------------------------------------- quality-preferring survivors
+#
+# dedup_survivors keeps the MIN-ID member of each near-dup cluster —
+# the arbitrary-but-stable convention. Production dedup keeps the BEST
+# member (longest form, highest quality score, original rather than the
+# truncated mirror). This op picks argmax(quality) per cluster with a
+# deterministic min-id tie-break, as a map-side-combining min(struct)
+# aggregation — never a per-cluster sort, so a viral document's
+# million-copy cluster reduces with partial aggregation instead of
+# buffering on one reducer. Quality here is the engine-shared
+# multiplicative-hash stand-in (identical integer arithmetic in DuckDB);
+# production plugs any upstream scorer column (doc QC quality_score,
+# audio snr_est_db).
+
+
+def _best_survivor_sql() -> str:
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    q = f"(((id % {HASH_P}) * {HASH_K}) % {HASH_P}) % 1000"
+    return f"""
+    WITH RECURSIVE pairs AS ({_sql_jaccard_pairs(_SQL_CORPUS_CHAIN, thr=0.5)}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+    comps AS (SELECT id, MIN(comp) AS rep, {q} AS quality
+              FROM reach GROUP BY id),
+    ranked AS (
+      SELECT rep, id, quality,
+             ROW_NUMBER() OVER (PARTITION BY rep
+                                ORDER BY quality DESC, id) AS rn,
+             COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+      FROM comps)
+    SELECT rep AS cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+           id AS survivor_id, CAST(quality AS BIGINT) AS survivor_quality
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("dedup_best_survivor", oracle=_best_survivor_sql())
+def dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-preferring survivor per near-dup cluster: resolve the
+    pair graph with distributed connected components (qcflow/graph.py),
+    score members with the engine-shared hash stand-in, and reduce each
+    cluster to argmax(quality, tie-break min id) via min(struct(-q, id))
+    — a partial-aggregating groupBy, skew-safe for viral-copy clusters.
+    The DuckDB twin replays the components with a recursive CTE and the
+    argmax with a deterministic window order."""
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    pairs = _jaccard_pairs(_corpus_chain(spark, sf_dir), thr=0.5)
+    clusters = resolve_clusters(pairs)
+    quality = F.pmod(
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(HASH_P)) * F.lit(HASH_K), F.lit(HASH_P)),
+        F.lit(1000),
+    ).cast("long")
+    return (
+        clusters.withColumn("quality", quality)
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min(
+                F.struct(
+                    (-F.col("quality")).alias("nq"),
+                    F.col("doc_id").alias("id"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "cluster_rep",
+            "cluster_size",
+            F.col("m.id").alias("survivor_id"),
+            (-F.col("m.nq")).alias("survivor_quality"),
+        )
+    )

@@ -188,3 +188,28 @@ def test_speech_rate_qc_regimes(spark):
     assert (by_regime[3].status == "no_speech").all()
     assert by_regime[3].rate_wps.isna().all()
     assert (pdf.clip_id % 5 != 4).all(), "undecodable rows must be excluded"
+
+
+def test_best_survivor_is_argmax_and_nondegenerate(spark, sf_dir):
+    """The quality argmax is load-bearing (some clusters pick a
+    non-min-id survivor), the survivor is always a cluster member, and
+    its quality is the cluster max."""
+    from qcflow.parity.dedup import (
+        _corpus_chain,
+        _jaccard_pairs,
+        dedup_best_survivor,
+    )
+    from qcflow.graph import resolve_clusters
+
+    best = dedup_best_survivor(spark, sf_dir).toPandas()
+    assert (best.survivor_id != best.cluster_rep).any(), (
+        "quality argmax degenerated to min-id — the gate is vacuous"
+    )
+    members = resolve_clusters(
+        _jaccard_pairs(_corpus_chain(spark, sf_dir), thr=0.5)
+    ).toPandas()
+    merged = best.merge(
+        members, left_on=["cluster_rep", "survivor_id"],
+        right_on=["cluster_rep", "doc_id"], how="left",
+    )
+    assert merged.doc_id.notna().all(), "survivor not a member of its cluster"
