@@ -157,6 +157,63 @@ def main() -> int:
         sg_sec = sec if sg_sec is None or sec < sg_sec else sg_sec
     queries["audio_segment_10k"] = round(sg_sec, 3)
 
+    # audio near-dup dedup on the same 10k slice: decode -> 64-bit
+    # spectral fingerprint (ONE Arrow crossing — the fp frame is
+    # localCheckpoint-ed so the self-join reads the staged 8-byte rows,
+    # the at-scale plan: fingerprints persist, clips decode once) ->
+    # 4x16 banded Hamming self-join -> exact <=3 filter. min-of-2 like
+    # every decode-crossing key.
+    from qcflow.udfs import with_audio_fp
+
+    fp_sec = None
+    for _rep in range(2):
+        t0 = time.time()
+        fpf = (
+            with_audio_fp(slice_)
+            .select("clip_id", "audio_fp")
+            .filter(F.col("audio_fp").isNotNull())
+            .localCheckpoint()
+        )
+        fpb = fpf.select(
+            "clip_id",
+            "audio_fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.expr(
+                                f"(audio_fp >> {j * 16}) & 65535"
+                            ).alias("bucket"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("clip_id", "audio_fp", "bb.band", "bb.bucket")
+        fa, fb = fpb.alias("a"), fpb.alias("b")
+        (
+            fa.join(
+                fb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.clip_id") < F.col("b.clip_id")),
+            )
+            .filter(F.bit_count(F.expr("a.audio_fp ^ b.audio_fp")) <= 3)
+            .select(
+                F.col("a.clip_id").alias("id_a"),
+                F.col("b.clip_id").alias("id_b"),
+            )
+            .dropDuplicates()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        sec = time.time() - t0
+        fpf.unpersist()
+        fp_sec = sec if fp_sec is None or sec < fp_sec else fp_sec
+    queries["dedup_audio_fp_10k"] = round(fp_sec, 3)
+
     # resumable checkpoint path: the same 60k clips written as 4 snapshot
     # increments of 16 buckets each (thresholds derived once up front,
     # per-(snapshot,bucket) metric partials, lineage-as-commit-log) — the

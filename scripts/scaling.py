@@ -471,6 +471,18 @@ box).
   vocab (map-side-combining agg + TakeOrderedAndProject), per-lang
   rank-quota trim (grouped-sort; documented skew caveat + sketch
   swap at scale).
+- r5 third window: audio near-dup dedup gets a bench key
+  (dedup_audio_fp_10k, min-of-2 — decode -> fingerprint ONCE into a
+  localCheckpointed 8-byte frame, then the 4x16 banded Hamming
+  self-join reads the staged rows; decode-bound like the other
+  crossings). The window's other ops stay plan/oracle-gated:
+  audio_decontaminate (broadcast eval fingerprints — corpus never
+  shuffles), x_leakage_safe_split + dedup_best_survivor (map-side-
+  combining groupBy aggregations), audio_speech_rate_qc (map-only, one
+  Arrow crossing), x_bpe_train (one corpus-sized count, then
+  vocabulary-sized rounds — loop cost independent of corpus size) and
+  x_bpe_encode (codegen folds, one regroup Exchange; broadcast-ranks
+  UDF for production vocabularies).
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 
