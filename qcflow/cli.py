@@ -99,6 +99,19 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--cpus", type=int, default=None)
     sg.add_argument("--partitions", type=int, default=None)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="audio near-dup dedup stage: spectral-fingerprint banded "
+        "Hamming clusters, keep the best-SNR survivor per cluster — "
+        "emits a valid clips table that feeds back into `run` / "
+        "`segment` / `stream`",
+    )
+    dd.add_argument("--clips", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--ham-max", type=int, default=3)
+    dd.add_argument("--cpus", type=int, default=None)
+    dd.add_argument("--partitions", type=int, default=None)
+
     i = sub.add_parser(
         "inspect", help="manifest summary: snapshot history + committed counts"
     )
@@ -226,6 +239,35 @@ def main(argv: list[str] | None = None) -> int:
             "n_segments": int(agg["n_segs"] or 0),
             "avg_dur_ms": round(float(agg["avg_dur_ms"] or 0.0), 1),
             "win_ms": args.win_ms,
+            "out": dest,
+        }
+    elif args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from qcflow.pipeline import dedup_table
+
+        clips = spark.read.parquet(args.clips)
+        n_input = clips.count()
+        ddf = dedup_table(clips, ham_max=args.ham_max)
+        if args.partitions:
+            ddf = ddf.repartition(args.partitions)
+        dest = f"{args.out}/deduped.parquet"
+        ddf.write.mode("overwrite").parquet(dest)
+        agg = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count("*").alias("n_out"),
+                F.count(F.col("cluster_rep")).alias("n_cluster_survivors"),
+            )
+            .collect()[0]
+        )
+        out = {
+            "cmd": "dedup",
+            "n_input": n_input,
+            "n_out": int(agg["n_out"] or 0),
+            "n_removed": n_input - int(agg["n_out"] or 0),
+            "n_cluster_survivors": int(agg["n_cluster_survivors"] or 0),
+            "ham_max": args.ham_max,
             "out": dest,
         }
     elif args.cmd == "gen":

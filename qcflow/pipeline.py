@@ -405,3 +405,96 @@ def segment_table(
             "transcript", F.coalesce(F.col("transcript"), F.lit(""))
         )
     return segs
+
+
+def dedup_table(
+    clips: DataFrame, ham_max: int = 3, quality: str = "snr"
+) -> DataFrame:
+    """Audio near-dup dedup stage producing a VALID clips table of
+    SURVIVORS: fingerprint every decodable clip (one Arrow crossing
+    into a localCheckpointed 8-byte frame — the staged-fingerprint plan
+    the dedup_audio_fp_10k bench key measures), banded Hamming
+    self-join within ``ham_max``, distributed connected components over
+    the pair graph, then ONE survivor per cluster — the
+    highest-quality member (blind SNR estimate, decoded only for
+    cluster MEMBERS — a tiny fraction of the corpus) with a min-id
+    tie-break, the dedup_best_survivor shape. Non-clustered rows pass
+    through untouched; ``cluster_rep`` / ``cluster_size`` ride along
+    (NULL for singletons) for lineage.
+
+    Scale shape: clip bytes cross into Python exactly once for the
+    fingerprint (plus once more for the cluster members' quality
+    score); everything that shuffles is 8-byte hashes and ids. The
+    graph is keyed on xxhash64(clip_id) so string ids work with the
+    long-keyed CC kernel; survivor choice never depends on the hash
+    (quality + lexicographic clip_id only)."""
+    from qcflow import audio
+    from qcflow.graph import resolve_clusters
+    from qcflow.udfs import with_audio_fp, with_snr_estimate
+
+    decodable = clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    fp = (
+        with_audio_fp(decodable)
+        .select(F.xxhash64("clip_id").alias("nid"), "clip_id", "audio_fp")
+        .filter(F.col("audio_fp").isNotNull())
+        .localCheckpoint()
+    )
+    bands = fp.select(
+        "nid",
+        "audio_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"(audio_fp >> {j * 16}) & 65535").alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("nid", "audio_fp", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .filter(F.bit_count(F.expr("a.audio_fp ^ b.audio_fp")) <= ham_max)
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+        .dropDuplicates()
+    )
+    clusters = resolve_clusters(pairs).withColumnRenamed("doc_id", "nid")
+    withc = clips.withColumn("nid", F.xxhash64("clip_id")).join(
+        clusters, "nid", "left"
+    )
+    members = withc.filter(F.col("cluster_rep").isNotNull())
+    scored = with_snr_estimate(members).select(
+        "nid",
+        "cluster_rep",
+        F.coalesce(F.col("snr_est_db"), F.lit(-1e9)).alias("_q"),
+        F.col("clip_id").alias("_sid"),
+    )
+    best = (
+        scored.groupBy("cluster_rep")
+        .agg(
+            F.min(
+                F.struct((-F.col("_q")).alias("nq"), F.col("_sid").alias("sid"))
+            ).alias("m")
+        )
+        .select("cluster_rep", F.col("m.sid").alias("_survivor"))
+    )
+    return (
+        withc.join(best, "cluster_rep", "left")
+        .filter(
+            F.col("cluster_rep").isNull()
+            | (F.col("clip_id") == F.col("_survivor"))
+        )
+        .drop("nid", "_survivor")
+    )
