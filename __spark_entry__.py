@@ -93,7 +93,11 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # for the new dedup_best_survivor).
 # After this rotation every registry name has appeared in >=1
 # CORRECTNESS_r*.json or sits in the r5 window; the rotated-out rows
-# remain sweep-verified every round.
+# remain sweep-verified every round. (x_shard_manifest joins
+# o1_multisort_topk / u1_union_cycles OUTSIDE the window by design:
+# it is the writer-side rollup of x_epoch_shuffle's stream — machinery
+# attested in-window through that row — and a consistency test pins
+# manifest == shuffle totals.)
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",

@@ -928,3 +928,60 @@ def x_rank_calibrated_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         ((rn <= k) | (rn > n_g - k)).alias("trim_flag"),
     )
+
+
+@query(
+    "x_shard_manifest",
+    oracle=f"""
+    WITH w(cls, base, frac_pm) AS (VALUES
+      {", ".join(f"({i}, {b}, {f})" for i, (b, f) in enumerate(zip(_MIX_BASE, _MIX_FRAC_PM)))}),
+    d AS (
+      SELECT doc_id, source,
+             CAST(substring(source, 4) AS INT) % 4 AS cls,
+             {_SQL_ID_HASH} % 1000 AS coin
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             base + CASE WHEN coin < frac_pm THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN w USING (cls)
+    ),
+    mixed AS (
+      SELECT doc_id, CAST(i AS INT) AS copy, {_SHUF_SQL_H} AS h
+      FROM n, unnest(range(0, n_copies)) AS u(i)
+    )
+    SELECT CAST(h % {_N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(h) AS BIGINT) AS h_sum,
+           CAST(MIN(h) AS BIGINT) AS h_min,
+           CAST(MAX(h) AS BIGINT) AS h_max
+    FROM mixed GROUP BY shard
+    """,
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side shard MANIFEST for the epoch-shuffled stream (the
+    "no silent caps" bookkeeping a training-shard writer commits next
+    to its files): per shard, the row count, distinct-doc count and an
+    order-insensitive content fingerprint (sum/min/max of the
+    engine-shared placement hash — a reader can re-verify a shard
+    without re-reading its neighbours; h < 10^9 so even a 10^9-row
+    shard's sum fits a long with headroom). ONE hash aggregation over
+    the mixture stream — map-side combining, dimension-sized output,
+    no sort anywhere; at production scale this runs in the same pass
+    as the shard write (same partitioning key)."""
+    mixed = _mixed_stream(t(spark, sf_dir, "documents")).select(
+        "doc_id", "copy", _shuffle_hash().alias("h")
+    )
+    shard = F.pmod(F.col("h"), F.lit(_N_SHARDS)).cast("int")
+    return (
+        mixed.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("h").alias("h_sum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+    )

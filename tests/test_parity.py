@@ -213,3 +213,16 @@ def test_best_survivor_is_argmax_and_nondegenerate(spark, sf_dir):
         right_on=["cluster_rep", "doc_id"], how="left",
     )
     assert merged.doc_id.notna().all(), "survivor not a member of its cluster"
+
+
+def test_shard_manifest_totals_match_epoch_shuffle(spark, sf_dir):
+    """The manifest is exactly the writer-side rollup of the epoch
+    shuffle: per-shard n_rows == the shard's max shard_pos, and the
+    totals cover every mixture row."""
+    from qcflow.parity.advanced_ops import x_epoch_shuffle, x_shard_manifest
+
+    man = x_shard_manifest(spark, sf_dir).toPandas().set_index("shard")
+    shuf = x_epoch_shuffle(spark, sf_dir).toPandas()
+    per_shard = shuf.groupby("shard")["shard_pos"].max()
+    assert (man["n_rows"].sort_index() == per_shard.sort_index()).all()
+    assert man["n_rows"].sum() == len(shuf)
