@@ -97,7 +97,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # o1_multisort_topk / u1_union_cycles OUTSIDE the window by design:
 # it is the writer-side rollup of x_epoch_shuffle's stream — machinery
 # attested in-window through that row — and a consistency test pins
-# manifest == shuffle totals.)
+# manifest == shuffle totals. audio_speaker_cluster likewise: its two
+# kernels are attested in-window (audio_band_features) and in r3/r4
+# artifacts (ann_kmeans_assign / ann_ivf_trained), and the sweep hash-
+# gates the composition every round.)
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",

@@ -2176,3 +2176,135 @@ def audio_speech_rate_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
         .alias("status"),
     )
+
+
+# ------------------------------------- speaker-style clustering THROUGH bytes
+#
+# End-to-end composition of the audio-feature and ANN families: decode
+# -> 16 log band energies (with_band_features) -> distributed Lloyd's
+# k-means (ann.kmeans_fit, farthest-first seeding) -> partition gate
+# via the min-id representative (the ann_kmeans_assign pattern —
+# label-permutation-free). Four planted "speakers", each with energy in
+# a distinct 4-band signature set of the 16-band log grid; amplitude
+# jitter + noise keep intra-speaker spread well under the inter-speaker
+# gap (3x margin ASSERTED at build on the identical kernel's features),
+# so Gonzalez seeding provably lands one seed per speaker and Lloyd's
+# recovers the partition exactly. Clip ids 0..3 are the per-speaker
+# minima by construction (i % 4), so the min-id representative IS the
+# planted speaker index.
+
+N_SPK_CLIPS = 160
+_SPK_K = 4
+_SPK_FIX = os.path.join(_DIR, "spk_v1.parquet")
+
+
+def _materialize_spk() -> None:
+    if os.path.exists(_SPK_FIX):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+    sr = 16000
+    # band centers of the 16-band log grid (100 Hz .. 0.45*sr)
+    edges = np.exp(np.linspace(np.log(100.0), np.log(0.45 * sr), 17))
+    centers = np.sqrt(edges[:-1] * edges[1:])
+    rows, feats = [], {}
+    for i in range(N_SPK_CLIPS):
+        rng = np.random.default_rng([515199, i])
+        spk = i % _SPK_K
+        if i % 20 == 19:  # undecodable regime (never ids 0..3)
+            rows.append(
+                {
+                    "clip_id": i,
+                    "bytes": None if (i // 20) % 2 == 0 else b"\x03",
+                    "codec": "pcm16" if (i // 20) % 2 == 0 else "m4a",
+                    "sr_hz": sr,
+                    "spk": spk,
+                    "decodable": False,
+                }
+            )
+            continue
+        # fixed length + amplitude: intra-speaker spread is then only
+        # phase/noise realization, far under the 8-band signature gap
+        n = sr // 2
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for b in (spk, spk + 4, spk + 8, spk + 12):
+            x = x + 0.3 * np.sin(
+                2 * np.pi * centers[b] * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.002, n)).astype(np.float32)
+        b_ = _afp_encode(x, "pcm16")
+        feats[i] = audio.band_features(audio.decode(b_, "pcm16"), sr)
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": b_,
+                "codec": "pcm16",
+                "sr_hz": sr,
+                "spk": spk,
+                "decodable": True,
+            }
+        )
+    # separation margin: 3x between the largest intra-speaker and the
+    # smallest inter-speaker feature distance (Gonzalez + Lloyd's can
+    # then never split a speaker or merge two)
+    ids = sorted(feats)
+    intra, inter = 0.0, float("inf")
+    for a in ids:
+        for b2 in ids:
+            if b2 <= a:
+                continue
+            d = float(np.linalg.norm(feats[a] - feats[b2]))
+            if a % _SPK_K == b2 % _SPK_K:
+                intra = max(intra, d)
+            else:
+                inter = min(inter, d)
+    assert intra * 3.0 < inter, (intra, inter)
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(_SPK_FIX, index=False)
+
+
+_materialize_spk()
+
+
+@query(
+    "audio_speaker_cluster",
+    oracle=f"""
+    SELECT clip_id, CAST(spk AS BIGINT) AS cluster_rep
+    FROM '{_SPK_FIX}' WHERE decodable
+    """,
+)
+def audio_speaker_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker-style clip clustering recovered THROUGH the bytes: one
+    Arrow crossing to band-energy features, distributed k-means over
+    the float vectors (farthest-first seeds, Lloyd refinement —
+    vocabulary-sized driver traffic), every clip tagged with the min
+    clip_id of its trained cluster. The fixture's 3x separation margin
+    plus ids 0..3 being the per-speaker minima make the gate exact:
+    hash equality means the trained partition IS the planted one. At
+    scale this is the audio corpus-organization pass (pseudo-speaker /
+    domain discovery) the IVF coarse quantizer already implements for
+    embeddings — here fed by audio-derived features end to end."""
+    from pyspark.sql import Window
+
+    from qcflow.ann import assign_clusters, kmeans_fit
+    from qcflow.udfs import with_band_features
+
+    _materialize_spk()
+    clips = spark.read.parquet(_SPK_FIX).select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    vec = (
+        with_band_features(_decodable(clips))
+        .select("clip_id", F.col("feat").cast("array<double>").alias("emb"))
+        .localCheckpoint()
+    )
+    codebook = kmeans_fit(
+        vec, k=_SPK_K, id_col="clip_id", n_iter=4, init="farthest"
+    )
+    assigned = assign_clusters(vec, codebook, emb_col="emb")
+    w = Window.partitionBy("cluster")
+    return assigned.select(
+        "clip_id", F.min("clip_id").over(w).alias("cluster_rep")
+    )
