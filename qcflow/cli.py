@@ -112,6 +112,20 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--cpus", type=int, default=None)
     dd.add_argument("--partitions", type=int, default=None)
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="eval-set decontamination stage: spectral-fingerprint match "
+        "against held-out eval clips — writes clean.parquet (feeds back "
+        "into `run`) and quarantined.parquet (the flagged rows with "
+        "their eval hit)",
+    )
+    dc.add_argument("--clips", required=True)
+    dc.add_argument("--eval-clips", required=True)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--ham-max", type=int, default=3)
+    dc.add_argument("--cpus", type=int, default=None)
+    dc.add_argument("--partitions", type=int, default=None)
+
     i = sub.add_parser(
         "inspect", help="manifest summary: snapshot history + committed counts"
     )
@@ -269,6 +283,36 @@ def main(argv: list[str] | None = None) -> int:
             "n_cluster_survivors": int(agg["n_cluster_survivors"] or 0),
             "ham_max": args.ham_max,
             "out": dest,
+        }
+    elif args.cmd == "decontaminate":
+        from pyspark.sql import functions as F
+
+        from qcflow.pipeline import decontaminate_table
+
+        clips = spark.read.parquet(args.clips)
+        eval_clips = spark.read.parquet(args.eval_clips)
+        n_input = clips.count()
+        flagged = decontaminate_table(
+            clips, eval_clips, ham_max=args.ham_max
+        )
+        if args.partitions:
+            flagged = flagged.repartition(args.partitions)
+        clean = flagged.filter(F.col("contam_eval_id").isNull()).drop(
+            "contam_eval_id", "contam_hamming"
+        )
+        quarantined = flagged.filter(F.col("contam_eval_id").isNotNull())
+        clean_dest = f"{args.out}/clean.parquet"
+        q_dest = f"{args.out}/quarantined.parquet"
+        clean.write.mode("overwrite").parquet(clean_dest)
+        quarantined.write.mode("overwrite").parquet(q_dest)
+        n_q = spark.read.parquet(q_dest).count()
+        out = {
+            "cmd": "decontaminate",
+            "n_input": n_input,
+            "n_clean": n_input - n_q,
+            "n_quarantined": n_q,
+            "ham_max": args.ham_max,
+            "out": clean_dest,
         }
     elif args.cmd == "gen":
         from qcflow.synth import generate_clips

@@ -407,6 +407,29 @@ def segment_table(
     return segs
 
 
+def _fp_bands(fp: DataFrame, id_col: str, fp_col: str = "audio_fp") -> DataFrame:
+    """Explode a 64-bit fingerprint frame into its 4x16-bit
+    (band, bucket) rows — the banded-Hamming join key (pigeonhole:
+    Hamming <= 3 guarantees one shared clean band)."""
+    return fp.select(
+        id_col,
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(f"({fp_col} >> {j * 16}) & 65535").alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, fp_col, "bb.band", "bb.bucket")
+
+
 def dedup_table(
     clips: DataFrame, ham_max: int = 3, quality: str = "snr"
 ) -> DataFrame:
@@ -441,23 +464,7 @@ def dedup_table(
         .filter(F.col("audio_fp").isNotNull())
         .localCheckpoint()
     )
-    bands = fp.select(
-        "nid",
-        "audio_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.expr(f"(audio_fp >> {j * 16}) & 65535").alias(
-                            "bucket"
-                        ),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("nid", "audio_fp", "bb.band", "bb.bucket")
+    bands = _fp_bands(fp, "nid")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -498,3 +505,66 @@ def dedup_table(
         )
         .drop("nid", "_survivor")
     )
+
+
+def decontaminate_table(
+    clips: DataFrame, eval_clips: DataFrame, ham_max: int = 3
+) -> DataFrame:
+    """Eval-set decontamination stage: every corpus clip gains
+    ``contam_eval_id`` / ``contam_hamming`` (NULL = clean) by spectral-
+    fingerprint banded-Hamming match against the held-out eval clips —
+    the production form of the audio_decontaminate gate. The eval set
+    is dimension-sized at any corpus scale, so its fingerprint band
+    rows BROADCAST: corpus scan -> one Arrow fp crossing -> band
+    explode -> broadcast hash join -> exact Hamming filter -> left join
+    of the (tiny) hit set back onto the corpus; corpus bytes never
+    shuffle. Rows the fingerprint can't read (NULL bytes, unknown
+    codec) are conservatively left unflagged — they fail QC decode
+    rules downstream anyway."""
+    from qcflow import audio
+    from qcflow.udfs import with_audio_fp
+
+    decodable = clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    corp_fp = (
+        with_audio_fp(decodable)
+        .select("clip_id", "audio_fp")
+        .filter(F.col("audio_fp").isNotNull())
+    )
+    eval_dec = eval_clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    eval_fp = (
+        with_audio_fp(eval_dec)
+        .select(
+            F.col("clip_id").alias("contam_eval_id"),
+            F.col("audio_fp").alias("eval_fp"),
+        )
+        .filter(F.col("eval_fp").isNotNull())
+    )
+    eval_bands = _fp_bands(eval_fp, "contam_eval_id", fp_col="eval_fp")
+    hits = (
+        _fp_bands(corp_fp, "clip_id")
+        .join(F.broadcast(eval_bands), ["band", "bucket"])
+        .withColumn(
+            "contam_hamming",
+            F.bit_count(F.expr("audio_fp ^ eval_fp")).cast("int"),
+        )
+        .filter(F.col("contam_hamming") <= ham_max)
+        .groupBy("clip_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("contam_hamming").alias("h"),
+                    F.col("contam_eval_id").alias("e"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "clip_id",
+            F.col("m.e").alias("contam_eval_id"),
+            F.col("m.h").alias("contam_hamming"),
+        )
+    )
+    return clips.join(hits, "clip_id", "left")

@@ -93,3 +93,63 @@ def test_cli_dedup_stage(tmp_path, clips_t2k, spark):
     assert summary["cmd"] == "dedup"
     assert summary["n_removed"] == 8, summary
     assert summary["n_cluster_survivors"] == 8, summary
+
+
+def test_decontaminate_table_flags_planted_copies(spark, clips_t2k):
+    """Corpus rows that are byte-copies of eval clips get flagged with
+    that eval id at Hamming 0; everything else stays clean."""
+    from qcflow.pipeline import decontaminate_table
+
+    base = (
+        spark.read.parquet(clips_t2k)
+        .filter(F.col("bytes").isNotNull())
+        .limit(50)
+        .cache()
+    )
+    eval_clips = base.limit(10).withColumn(
+        "clip_id", F.concat(F.lit("eval-"), F.col("clip_id"))
+    )
+    got = decontaminate_table(base, eval_clips).toPandas()
+    assert len(got) == base.count()
+    hits = got[got.contam_eval_id.notna()]
+    assert len(hits) == 10
+    assert (hits.contam_hamming == 0).all()
+    assert (hits.contam_eval_id == "eval-" + hits.clip_id).all()
+
+
+def test_cli_decontaminate_stage(tmp_path, clips_t2k, spark):
+    src = str(tmp_path / "corpus.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    base = (
+        spark.read.parquet(clips_t2k)
+        .filter(F.col("bytes").isNotNull())
+        .limit(40)
+    )
+    base.write.mode("overwrite").parquet(src)
+    base.limit(6).withColumn(
+        "clip_id", F.concat(F.lit("eval-"), F.col("clip_id"))
+    ).write.mode("overwrite").parquet(ev)
+    p = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "qcflow.cli",
+            "decontaminate",
+            "--clips",
+            src,
+            "--eval-clips",
+            ev,
+            "--out",
+            str(tmp_path / "out"),
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])
+    assert summary["n_quarantined"] == 6, summary
+    assert summary["n_clean"] == 34, summary
