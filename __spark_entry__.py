@@ -100,7 +100,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # manifest == shuffle totals. audio_speaker_cluster likewise: its two
 # kernels are attested in-window (audio_band_features) and in r3/r4
 # artifacts (ann_kmeans_assign / ann_ivf_trained), and the sweep hash-
-# gates the composition every round.)
+# gates the composition every round. audio_duration_pack likewise: the
+# next-fit applyInPandas machinery is attested in-window through
+# x_sequence_pack, and its oracle is full-arithmetic.)
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",

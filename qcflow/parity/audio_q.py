@@ -2308,3 +2308,115 @@ def audio_speaker_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "clip_id", F.min("clip_id").over(w).alias("cluster_rep")
     )
+
+
+# ------------------------------------------ duration-budget clip packing
+#
+# The audio twin of x_sequence_pack: clips folded into fixed-DURATION
+# training examples (ASR batches pack by seconds the way LM batches pack
+# by tokens). Durations derive from BYTE LENGTH and codec — integer
+# arithmetic both engines replay exactly, no decode anywhere (the
+# audio_segment_transcripts trick) — so the oracle is a full-arithmetic
+# recursive CTE, not a truth projection. Greedy next-fit inside
+# hash-ordered groups, the same per-group sequential recurrence as the
+# token packer: one hash shuffle + applyInPandas, determinism from the
+# hash order, never the partition layout.
+
+_APACK_BUDGET_MS = 3000
+_APACK_G = 8
+
+
+def _apack_sql_h(col: str = "clip_id") -> str:
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    return f"((({col} % {HASH_P}) * {HASH_K}) % {HASH_P})"
+
+
+def _apack_oracle() -> str:
+    return f"""
+    WITH RECURSIVE numbered AS (
+      SELECT clip_id, h, dur_ms,
+             CAST(h % {_APACK_G} AS INT) AS grp,
+             ROW_NUMBER() OVER (
+               PARTITION BY h % {_APACK_G} ORDER BY h, clip_id
+             ) AS rn
+      FROM (
+        SELECT clip_id, {_apack_sql_h()} AS h,
+               ((CASE WHEN codec = 'pcm16'
+                      THEN octet_length(bytes) // 2
+                      ELSE octet_length(bytes) END) * 1000) // sr_hz
+                 AS dur_ms
+        FROM '{_AFP_FIX}'
+        WHERE bytes IS NOT NULL AND codec IN ('pcm16', 'ulaw')
+      )
+    ),
+    packed AS (
+      SELECT clip_id, grp, rn, dur_ms,
+             0 AS pack_id, dur_ms AS used
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.clip_id, n.grp, n.rn, n.dur_ms,
+             CASE WHEN p.used + n.dur_ms > {_APACK_BUDGET_MS}
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.used + n.dur_ms > {_APACK_BUDGET_MS}
+                  THEN n.dur_ms ELSE p.used + n.dur_ms END
+      FROM packed p JOIN numbered n
+        ON n.grp = p.grp AND n.rn = p.rn + 1
+    )
+    SELECT clip_id, grp, CAST(pack_id AS INT) AS pack_id,
+           CAST(dur_ms AS BIGINT) AS dur_ms
+    FROM packed
+    """
+
+
+@query("audio_duration_pack", oracle=_apack_oracle())
+def audio_duration_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-budget packing of audio clips into training examples
+    (3 s budget): duration from byte length + codec (pure integer
+    column arithmetic — no decode, no UDF on the sizing side), greedy
+    next-fit inside deterministic hash-ordered groups via ONE hash
+    shuffle + applyInPandas (a linear pass per group — no driver loop,
+    no global sort). Clips longer than the budget get a pack of their
+    own. The DuckDB twin replays the identical integer recurrence as a
+    recursive CTE over the same fixture bytes."""
+    import pandas as pd
+
+    from qcflow.parity.advanced_ops import HASH_K, HASH_P
+
+    _materialize_fp()
+    clips = spark.read.parquet(_AFP_FIX).filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin("pcm16", "ulaw")
+    )
+    n_samples = F.when(
+        F.col("codec") == "pcm16", F.expr("length(bytes) DIV 2")
+    ).otherwise(F.length("bytes"))
+    h = F.pmod(
+        F.pmod(F.col("clip_id"), F.lit(HASH_P)) * F.lit(HASH_K), F.lit(HASH_P)
+    )
+    items = clips.select(
+        "clip_id",
+        h.alias("h"),
+        (n_samples * 1000).cast("long").alias("_ns1000"),
+        "sr_hz",
+    ).select(
+        "clip_id",
+        "h",
+        F.expr("_ns1000 DIV sr_hz").alias("dur_ms"),
+        F.pmod(F.col("h"), F.lit(_APACK_G)).cast("int").alias("grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "clip_id"]).reset_index(drop=True)
+        packs, used, cur = [], 0, 0
+        for d in pdf["dur_ms"]:
+            if packs and used + d > _APACK_BUDGET_MS:
+                cur += 1
+                used = 0
+            used += int(d)
+            packs.append(cur)
+        pdf["pack_id"] = pd.Series(packs, dtype="int32")
+        return pdf[["clip_id", "grp", "pack_id", "dur_ms"]]
+
+    return items.groupBy("grp").applyInPandas(
+        pack, "clip_id long, grp int, pack_id int, dur_ms long"
+    )

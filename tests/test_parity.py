@@ -226,3 +226,25 @@ def test_shard_manifest_totals_match_epoch_shuffle(spark, sf_dir):
     per_shard = shuf.groupby("shard")["shard_pos"].max()
     assert (man["n_rows"].sort_index() == per_shard.sort_index()).all()
     assert man["n_rows"].sum() == len(shuf)
+
+
+def test_audio_duration_pack_properties(spark, sf_dir):
+    """No pack exceeds the budget unless it is a single oversize clip;
+    every decodable fixture clip appears exactly once."""
+    import pandas as pd
+
+    from qcflow.parity.audio_q import (
+        _AFP_FIX,
+        _APACK_BUDGET_MS,
+        audio_duration_pack,
+    )
+
+    got = audio_duration_pack(spark, sf_dir).toPandas()
+    fix = pd.read_parquet(_AFP_FIX)
+    decodable = fix[fix.bytes.notna() & fix.codec.isin(["pcm16", "ulaw"])]
+    assert sorted(got.clip_id) == sorted(decodable.clip_id)
+    sums = got.groupby(["grp", "pack_id"]).agg(
+        total=("dur_ms", "sum"), n=("dur_ms", "size")
+    )
+    over = sums[sums.total > _APACK_BUDGET_MS]
+    assert (over.n == 1).all(), over
