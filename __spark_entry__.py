@@ -102,7 +102,10 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # artifacts (ann_kmeans_assign / ann_ivf_trained), and the sweep hash-
 # gates the composition every round. audio_duration_pack likewise: the
 # next-fit applyInPandas machinery is attested in-window through
-# x_sequence_pack, and its oracle is full-arithmetic.)
+# x_sequence_pack, and its oracle is full-arithmetic. dedup_incremental
+# likewise: fp banding via dedup_audio_fp in-window, CC via the r4
+# dedup_survivors artifact, the staged-per-commit contract via
+# ann_index_incremental in-window.)
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",

@@ -2420,3 +2420,234 @@ def audio_duration_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return items.groupBy("grp").applyInPandas(
         pack, "clip_id long, grp int, pack_id int, dur_ms long"
     )
+
+
+# ---------------------------------------------- incremental near-dup dedup
+#
+# The resumable-load form of dedup (the index_store pattern applied to
+# the dedup family): a NEW snapshot's clips dedup against the COMMITTED
+# corpus via its persisted fingerprint table — 8 bytes/clip, history
+# never rescanned, exactly what the snapshot manifest stages per commit
+# — and against themselves (intra-increment copies, min-clip_id
+# survivor). Fixture truth: committed fingerprints are STORED columns
+# computed at build with the identical kernel (the staged-fp contract);
+# new-side regimes — fresh / copy-of-committed (dropped) / intra-
+# increment groups (one survivor) / undecodable (conservatively kept) —
+# are planted with every cross-regime Hamming distance build-ASSERTED
+# beyond the radius, so the survivor set is closed-form and the oracle
+# is a pure truth projection while Spark re-derives it through the
+# bytes and the staged table.
+
+_INC_FIX = os.path.join(_DIR, "incdedup_v1.parquet")
+N_INC_COMMITTED = 40
+
+
+def _materialize_inc() -> None:
+    if os.path.exists(_INC_FIX):
+        return
+    from qcflow import audio
+
+    os.makedirs(_DIR, exist_ok=True)
+
+    def _synth(seed_i: int):
+        rng = np.random.default_rng([515207, seed_i])
+        sr = int(rng.choice([8000, 16000]))
+        n = int(sr * float(rng.uniform(0.4, 0.8)))
+        t = np.arange(n) / sr
+        x = np.zeros(n)
+        for f in np.exp(rng.uniform(np.log(150.0), np.log(3200.0), 3)):
+            x = x + rng.uniform(0.08, 0.2) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi)
+            )
+        x = (x + rng.normal(0.0, 0.01, n)).astype(np.float32)
+        codec = "pcm16" if seed_i % 2 == 0 else "ulaw"
+        return x, sr, codec
+
+    def _fp(b, codec, sr):
+        return audio.audio_fp64(audio.decode(b, codec), sr)
+
+    rows = []
+    all_fps: dict[int, int] = {}
+    committed: list[tuple] = []
+    for i in range(N_INC_COMMITTED):
+        x, sr, codec = _synth(i)
+        b = _afp_encode(x, codec)
+        fp = _fp(b, codec, sr)
+        all_fps[i] = fp
+        committed.append((i, x, sr, codec, b, fp))
+        rows.append(
+            {
+                "clip_id": i,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "snapshot": "A",
+                "committed_fp": fp,
+                "survives": None,
+                "t_cluster_size": None,
+            }
+        )
+
+    def _ladder(x, sr, codec, b, target_fp, seed):
+        other = "ulaw" if codec == "pcm16" else "pcm16"
+        for cc, amp, gain in (
+            (other, 0.008, 0.8),
+            (codec, 0.008, 0.8),
+            (codec, 0.003, 1.0),
+            (codec, 0.0, 1.0),
+        ):
+            nrng = np.random.default_rng([515208, seed])
+            cp = gain * x + (nrng.normal(0.0, amp, len(x)) if amp > 0 else 0.0)
+            cb = (
+                b
+                if (cc == codec and amp == 0.0 and gain == 1.0)
+                else _afp_encode(cp.astype(np.float32), cc)
+            )
+            fp = _fp(cb, cc, sr)
+            if audio.fp_hamming(target_fp, fp) <= _AFP_HAM_MAX:
+                return cb, cc, fp
+        raise AssertionError("ladder failed")
+
+    def _assert_isolated(fp, exempt=()):
+        for k, other in all_fps.items():
+            if k not in exempt:
+                assert audio.fp_hamming(fp, other) > _AFP_HAM_MAX, k
+
+    nid = 10_000
+    # regime 1: fresh rows (survive alone)
+    for j in range(30):
+        x, sr, codec = _synth(1_000 + j)
+        b = _afp_encode(x, codec)
+        fp = _fp(b, codec, sr)
+        _assert_isolated(fp)
+        all_fps[nid] = fp
+        rows.append(
+            {
+                "clip_id": nid,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "snapshot": "B",
+                "committed_fp": None,
+                "survives": True,
+                "t_cluster_size": None,
+            }
+        )
+        nid += 1
+    # regime 2: copies of committed clips (dropped)
+    for j in range(16):
+        ci, x, sr, codec, b, cfp = committed[j % N_INC_COMMITTED]
+        cb, cc, fp = _ladder(x, sr, codec, b, cfp, j)
+        _assert_isolated(fp, exempt=(ci,))
+        all_fps[nid] = fp
+        rows.append(
+            {
+                "clip_id": nid,
+                "bytes": cb,
+                "codec": cc,
+                "sr_hz": sr,
+                "snapshot": "B",
+                "committed_fp": None,
+                "survives": False,
+                "t_cluster_size": None,
+            }
+        )
+        nid += 1
+    # regime 3: intra-increment duplicate pairs (min clip_id survives)
+    for j in range(10):
+        x, sr, codec = _synth(2_000 + j)
+        b = _afp_encode(x, codec)
+        fp = _fp(b, codec, sr)
+        _assert_isolated(fp)
+        cb, cc, fp2 = _ladder(x, sr, codec, b, fp, 100 + j)
+        _assert_isolated(fp2, exempt=())
+        all_fps[nid] = fp
+        all_fps[nid + 1] = fp2
+        rows.append(
+            {
+                "clip_id": nid,
+                "bytes": b,
+                "codec": codec,
+                "sr_hz": sr,
+                "snapshot": "B",
+                "committed_fp": None,
+                "survives": True,
+                "t_cluster_size": 2,
+            }
+        )
+        rows.append(
+            {
+                "clip_id": nid + 1,
+                "bytes": cb,
+                "codec": cc,
+                "sr_hz": sr,
+                "snapshot": "B",
+                "committed_fp": None,
+                "survives": False,
+                "t_cluster_size": None,
+            }
+        )
+        nid += 2
+    # regime 4: undecodable rows — conservatively kept
+    for j in range(4):
+        rows.append(
+            {
+                "clip_id": nid,
+                "bytes": None if j % 2 == 0 else b"\x05",
+                "codec": "pcm16" if j % 2 == 0 else "m4a",
+                "sr_hz": 8000,
+                "snapshot": "B",
+                "committed_fp": None,
+                "survives": True,
+                "t_cluster_size": None,
+            }
+        )
+        nid += 1
+    pdf = pd.DataFrame(rows)
+    # 64-bit fingerprints MUST come from the python-int list: DataFrame
+    # inference routes a None-bearing int column through float64 and
+    # silently corrupts the low bits (CLAUDE.md r5 — with_audio_fp had
+    # the same bug pre-commit)
+    pdf["committed_fp"] = pd.Series(
+        [r["committed_fp"] for r in rows], dtype="Int64"
+    )
+    pdf["t_cluster_size"] = pdf["t_cluster_size"].astype("Int64")
+    pdf["survives"] = pdf["survives"].astype("boolean")
+    pdf.to_parquet(_INC_FIX, index=False)
+
+
+_materialize_inc()
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    SELECT clip_id, CAST(t_cluster_size AS BIGINT) AS cluster_size
+    FROM '{_INC_FIX}'
+    WHERE snapshot = 'B' AND survives
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new snapshot against the committed corpus
+    (pipeline.dedup_increment): the committed side is its PERSISTED
+    fingerprint table — stored at commit time, history never rescanned,
+    never decoded again — and the increment's bytes cross into Python
+    once. Hash joins on (band, bucket) over 8-byte rows on both the
+    committed probe (corpus-sized side, never broadcast) and the
+    intra-increment self-join; undecodable rows pass through
+    conservatively (they fail QC decode rules downstream). Fresh rows
+    survive, committed copies drop, intra-increment groups keep their
+    min-clip_id member."""
+    from qcflow.pipeline import dedup_increment
+
+    _materialize_inc()
+    fix = spark.read.parquet(_INC_FIX)
+    committed_fp = fix.filter(F.col("snapshot") == "A").select(
+        "clip_id", F.col("committed_fp").alias("audio_fp")
+    )
+    new = fix.filter(F.col("snapshot") == "B").select(
+        "clip_id", "bytes", "codec", "sr_hz"
+    )
+    return dedup_increment(new, committed_fp).select(
+        "clip_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )

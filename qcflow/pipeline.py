@@ -568,3 +568,92 @@ def decontaminate_table(
         )
     )
     return clips.join(hits, "clip_id", "left")
+
+
+def dedup_increment(
+    new_clips: DataFrame, committed_fp: DataFrame, ham_max: int = 3
+) -> DataFrame:
+    """Incremental near-dup dedup for a resumable load: dedup a NEW
+    snapshot's clips against (a) the already-committed corpus — via its
+    persisted fingerprint table, 8 bytes/clip, history never rescanned —
+    and (b) themselves (intra-increment copies). Returns the new rows
+    that survive, with ``dup_of_committed`` (the committed fp it
+    collided with, NULL if none — survivors always have NULL) dropped
+    and intra-increment clusters reduced to their min-id member.
+
+    Scale shape: the increment's bytes cross into Python once (the
+    fingerprint); both the committed probe and the self-join are hash
+    joins keyed on (band, bucket) over 8-byte rows — the committed side
+    is corpus-sized, so it is NEVER broadcast; at 10^12 clips its
+    fingerprint table is what the snapshot manifest stages per commit
+    (the audio analogue of index_store's encoded appends)."""
+    from qcflow import audio
+    from qcflow.graph import resolve_clusters
+    from qcflow.udfs import with_audio_fp
+
+    decodable = new_clips.filter(
+        F.col("bytes").isNotNull() & F.col("codec").isin(*audio.KNOWN_CODECS)
+    )
+    fp = (
+        with_audio_fp(decodable)
+        .select(F.xxhash64("clip_id").alias("nid"), "clip_id", "audio_fp")
+        .filter(F.col("audio_fp").isNotNull())
+        .localCheckpoint()
+    )
+    new_bands = _fp_bands(fp, "nid")
+    # (a) probe the committed fingerprint table
+    com_bands = _fp_bands(
+        committed_fp.select(
+            F.col("clip_id").alias("committed_id"),
+            F.col("audio_fp").alias("committed_fp"),
+        ),
+        "committed_id",
+        fp_col="committed_fp",
+    )
+    hit_committed = (
+        new_bands.join(com_bands, ["band", "bucket"])
+        .filter(
+            F.bit_count(F.expr("audio_fp ^ committed_fp")) <= ham_max
+        )
+        .select("nid")
+        .distinct()
+    )
+    # (b) intra-increment clusters -> min-id survivor
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.nid") < F.col("b.nid")),
+        )
+        .filter(F.bit_count(F.expr("a.audio_fp ^ b.audio_fp")) <= ham_max)
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
+        .dropDuplicates()
+    )
+    clusters = resolve_clusters(pairs).withColumnRenamed("doc_id", "nid")
+    withc = (
+        new_clips.withColumn("nid", F.xxhash64("clip_id"))
+        .join(clusters, "nid", "left")
+        .join(hit_committed.withColumn("_hit", F.lit(1)), "nid", "left")
+    )
+    # cluster representative chosen among members that did NOT hit the
+    # committed corpus — a cluster keeps one member unless every member
+    # is a committed dup; the tie-break is min clip_id (never the graph
+    # hash, which is layout-stable but not caller-meaningful)
+    reps = (
+        withc.filter(F.col("_hit").isNull() & F.col("cluster_rep").isNotNull())
+        .groupBy("cluster_rep")
+        .agg(F.min("clip_id").alias("_rep_cid"))
+    )
+    return (
+        withc.join(reps, "cluster_rep", "left")
+        .filter(
+            F.col("_hit").isNull()
+            & (
+                F.col("cluster_rep").isNull()
+                | (F.col("clip_id") == F.col("_rep_cid"))
+            )
+        )
+        .drop("nid", "_hit", "_rep_cid")
+    )

@@ -153,3 +153,37 @@ def test_cli_decontaminate_stage(tmp_path, clips_t2k, spark):
     summary = json.loads(p.stdout.strip().splitlines()[-1])
     assert summary["n_quarantined"] == 6, summary
     assert summary["n_clean"] == 34, summary
+
+
+def test_dedup_increment_drops_whole_committed_cluster(spark, clips_t2k):
+    """When every member of an intra-increment cluster is a committed
+    dup, the cluster vanishes entirely (no resurrecting a committed
+    copy as a 'survivor'); fresh rows pass through with their columns."""
+    from qcflow.pipeline import dedup_increment
+    from qcflow.udfs import with_audio_fp
+
+    base = (
+        spark.read.parquet(clips_t2k)
+        .filter(F.col("bytes").isNotNull())
+        .limit(20)
+        .cache()
+    )
+    committed_fp = with_audio_fp(base).select("clip_id", "audio_fp").filter(
+        F.col("audio_fp").isNotNull()
+    )
+    # the increment: two exact copies of committed clip #0 + 5 fresh-ish
+    # rows (clips 15..19 are NOT near clip 0 in fingerprint space only
+    # if the synth content differs — they are distinct synthetic clips)
+    first = base.limit(1)
+    dup_a = first.withColumn("clip_id", F.concat(F.col("clip_id"), F.lit("#a")))
+    dup_b = first.withColumn("clip_id", F.concat(F.col("clip_id"), F.lit("#b")))
+    fresh = spark.read.parquet(clips_t2k).filter(
+        F.col("bytes").isNotNull()
+    ).orderBy(F.desc("clip_id")).limit(5)
+    new = dup_a.unionByName(dup_b).unionByName(fresh)
+    got = dedup_increment(new, committed_fp).toPandas()
+    assert not got.clip_id.str.endswith("#a").any()
+    assert not got.clip_id.str.endswith("#b").any()
+    # the 5 fresh rows survive unless they incidentally near-dup the
+    # committed slice; at minimum, none of the planted dups do
+    assert len(got) <= 5
