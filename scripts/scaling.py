@@ -483,6 +483,17 @@ box).
   vocabulary-sized rounds — loop cost independent of corpus size) and
   x_bpe_encode (codegen folds, one regroup Exchange; broadcast-ranks
   UDF for production vocabularies).
+- r5 third window, later ops: audio_duration_pack (next-fit
+  applyInPandas over byte-length-derived durations — no decode on the
+  sizing side, full-arithmetic recursive-CTE oracle),
+  audio_speaker_cluster (bytes -> band features -> distributed k-means,
+  3x-margin construction truth), dedup_incremental /
+  pipeline.dedup_increment (new-snapshot dedup against the committed
+  corpus via its PERSISTED fingerprint table — history never rescanned
+  or re-decoded; committed side hash-joined, never broadcast), plus the
+  CLI dedup + decontaminate lifecycle stages. All oracle-gated and
+  partition-invariance probed; none benched (map-only, dimension-sized,
+  or already covered by dedup_audio_fp_10k's staged-fp shape).
 
 ## Skew on the metrics shapes (round 2, measured at 4M rows, 70% hot key)
 
