@@ -105,7 +105,9 @@ from qcflow.parity import ORACLES, QUERIES  # noqa: E402
 # x_sequence_pack, and its oracle is full-arithmetic. dedup_incremental
 # likewise: fp banding via dedup_audio_fp in-window, CC via the r4
 # dedup_survivors artifact, the staged-per-commit contract via
-# ann_index_incremental in-window.)
+# ann_index_incremental in-window. x_importance_resample likewise: it
+# composes x_bigram_lm_train's exact training arithmetic, which is
+# in-window.)
 GATE_ORDER = [
     "x_epoch_shuffle",
     "x_sequence_pack",

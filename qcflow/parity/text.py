@@ -682,3 +682,150 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = pd.read_parquet(_BPE_TRUTH).to_dict("records")
     corpus = spark.read.parquet(_BPE_FIX)
     return bpe_encode(corpus, merges)
+
+
+# ------------------------------------- importance-based data selection
+#
+# DSIR-flavored contrastive selection: score every document by how much
+# better the TARGET-domain character-bigram LM (here: the 'en' subset —
+# the synthetic corpus's real domain axis) explains it than the
+# whole-corpus LM (sum over bigram occurrences of lp_target -
+# lp_source), and select documents scoring above the CORPUS MEAN.
+# Everything is integer-gated: per-bigram log-probs reuse
+# x_bigram_lm_train's 6-dp-rounded convention, per-doc sums run in
+# DECIMAL (order-invariant — a double SUM over distributed partitions
+# is not), the score ships as micro-units in a BIGINT, and the
+# above-mean cut is the pure integer comparison
+# score_micro * n_docs > sum(score_micro) — no division, no float
+# threshold for the engines to disagree on. Bigrams the target never
+# saw take a flat -15.0 floor (both engines); the source LM covers
+# every corpus bigram by construction, so that side joins inner.
+
+_IR_FLOOR = "-15.0"
+_IR_TARGET_LANG = "en"
+
+
+@query(
+    "x_importance_resample",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang
+      FROM documents WHERE length(text) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, substring(text, gs.i, 2) AS bigram
+      FROM corpus,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 1))
+                    AS i) gs
+    ),
+    tbg AS (
+      SELECT substring(text, gs.i, 2) AS bigram
+      FROM corpus,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 1))
+                    AS i) gs
+      WHERE lang = '{_IR_TARGET_LANG}'
+    ),
+    tc AS (SELECT bigram, COUNT(*) AS n FROM tbg GROUP BY bigram),
+    tp AS (SELECT substring(bigram, 1, 1) AS c0, SUM(n) AS n0
+           FROM tc GROUP BY c0),
+    tlm AS (SELECT tc.bigram,
+                   ROUND(LN((tc.n + 0.5) / (tp.n0 + 0.5 * 64)), 6) AS lp
+            FROM tc JOIN tp ON substring(tc.bigram, 1, 1) = tp.c0),
+    sc AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram),
+    sp AS (SELECT substring(bigram, 1, 1) AS c0, SUM(n) AS n0
+           FROM sc GROUP BY c0),
+    slm AS (SELECT sc.bigram,
+                   ROUND(LN((sc.n + 0.5) / (sp.n0 + 0.5 * 64)), 6) AS lp
+            FROM sc JOIN sp ON substring(sc.bigram, 1, 1) = sp.c0),
+    per_doc AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST((SUM(CAST(COALESCE(t.lp, {_IR_FLOOR}) AS DECIMAL(20,6)))
+                   - SUM(CAST(s.lp AS DECIMAL(20,6)))) * 1000000 AS BIGINT)
+               AS score_micro
+      FROM bg
+      LEFT JOIN tlm t ON bg.bigram = t.bigram
+      JOIN slm s ON bg.bigram = s.bigram
+      GROUP BY bg.doc_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(score_micro) AS total
+            FROM per_doc)
+    SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams, score_micro,
+           (score_micro * tot.n_docs > tot.total) AS selected
+    FROM per_doc, tot
+    """,
+)
+def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-based data selection (the DSIR shape): train the
+    target-domain ('en') and whole-corpus character-bigram LMs as
+    distributed jobs (each = one corpus-sized map-side-combining count,
+    everything after alphabet-sized), broadcast BOTH model tables (a
+    few KB), and score every document in one more corpus pass —
+    explode bigrams, two broadcast joins, one decimal-summing groupBy.
+    No shuffle ever carries corpus text; the per-doc sum uses DECIMAL
+    so the result is identical under any partitioning (a double SUM is
+    reduction-order-sensitive); the contrastive score ships as exact
+    micro-units in a BIGINT, and the above-mean selection is the pure
+    integer comparison score * n_docs > total — no division for the
+    engines to round differently. A test pins the selection bias
+    toward the target language."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+
+    def _bigrams(d: DataFrame, *cols: str) -> DataFrame:
+        return d.select(
+            *cols,
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            "text",
+        ).select(*cols, F.expr("substring(text, i, 2)").alias("bigram"))
+
+    def _lm(d: DataFrame) -> DataFrame:
+        counts = _bigrams(d).groupBy("bigram").agg(F.count("*").alias("n"))
+        prefix = counts.groupBy(
+            F.substring("bigram", 1, 1).alias("c0")
+        ).agg(F.sum("n").alias("n0"))
+        return counts.join(
+            F.broadcast(prefix),
+            F.substring(F.col("bigram"), 1, 1) == F.col("c0"),
+        ).select(
+            "bigram",
+            F.round(
+                F.log((F.col("n") + 0.5) / (F.col("n0") + 0.5 * 64)), 6
+            ).alias("lp"),
+        )
+
+    tlm = _lm(docs.filter(F.col("lang") == _IR_TARGET_LANG)).withColumnRenamed(
+        "lp", "lp_t"
+    )
+    slm = _lm(docs).withColumnRenamed("lp", "lp_s")
+    diff = F.col("st") - F.col("ss")
+    per_doc = (
+        _bigrams(docs, "doc_id")
+        .join(F.broadcast(tlm), "bigram", "left")
+        .join(F.broadcast(slm), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum(
+                F.coalesce(F.col("lp_t"), F.lit(float(_IR_FLOOR))).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("st"),
+            F.sum(F.col("lp_s").cast("decimal(20,6)")).alias("ss"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (diff * 1000000).cast("long").alias("score_micro"),
+        )
+    )
+    tot = per_doc.agg(
+        F.count("*").alias("n_docs"), F.sum("score_micro").alias("total")
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_bigrams",
+        "score_micro",
+        (F.col("score_micro") * F.col("n_docs") > F.col("total")).alias(
+            "selected"
+        ),
+    )

@@ -248,3 +248,21 @@ def test_audio_duration_pack_properties(spark, sf_dir):
     )
     over = sums[sums.total > _APACK_BUDGET_MS]
     assert (over.n == 1).all(), over
+
+
+def test_importance_resample_prefers_target_lang(spark, sf_dir):
+    """Selection is biased toward the target domain: 'en' documents
+    (the target-LM training subset) are over-represented among the
+    selected set relative to the corpus, and the above-mean cut is the
+    exact integer rule score * n_docs > total."""
+    from qcflow.parity.registry import t
+    from qcflow.parity.text import x_importance_resample
+
+    got = x_importance_resample(spark, sf_dir).toPandas()
+    lang = t(spark, sf_dir, "documents").select("doc_id", "lang").toPandas()
+    m = got.merge(lang, on="doc_id")
+    sel = m[m.selected]
+    assert len(sel) > 0 and len(sel) < len(m), "selection is vacuous"
+    assert (sel.lang == "en").mean() > (m.lang == "en").mean()
+    n, total = len(m), m.score_micro.sum()
+    assert ((m.score_micro * n > total) == m.selected).all()
