@@ -126,6 +126,18 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--cpus", type=int, default=None)
     dc.add_argument("--partitions", type=int, default=None)
 
+    pk = sub.add_parser(
+        "pack",
+        help="packing stage: pcm16 rows folded and CONCATENATED into "
+        "duration-budget training examples (run normalize first) — "
+        "emits a valid clips table with parents lineage",
+    )
+    pk.add_argument("--clips", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--budget-ms", type=int, default=3000)
+    pk.add_argument("--cpus", type=int, default=None)
+    pk.add_argument("--partitions", type=int, default=None)
+
     i = sub.add_parser(
         "inspect", help="manifest summary: snapshot history + committed counts"
     )
@@ -313,6 +325,36 @@ def main(argv: list[str] | None = None) -> int:
             "n_quarantined": n_q,
             "ham_max": args.ham_max,
             "out": clean_dest,
+        }
+    elif args.cmd == "pack":
+        from pyspark.sql import functions as F
+
+        from qcflow.pipeline import pack_table
+
+        clips = spark.read.parquet(args.clips)
+        n_input = clips.count()
+        pdf_ = pack_table(clips, budget_ms=args.budget_ms)
+        if args.partitions:
+            pdf_ = pdf_.repartition(args.partitions)
+        dest = f"{args.out}/packed.parquet"
+        pdf_.write.mode("overwrite").parquet(dest)
+        agg = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count("*").alias("n_packs"),
+                F.sum("n_members").alias("n_packed"),
+                F.avg("dur_ms").alias("avg_dur_ms"),
+            )
+            .collect()[0]
+        )
+        out = {
+            "cmd": "pack",
+            "n_input": n_input,
+            "n_packs": int(agg["n_packs"] or 0),
+            "n_packed": int(agg["n_packed"] or 0),
+            "avg_dur_ms": round(float(agg["avg_dur_ms"] or 0.0), 1),
+            "budget_ms": args.budget_ms,
+            "out": dest,
         }
     elif args.cmd == "gen":
         from qcflow.synth import generate_clips

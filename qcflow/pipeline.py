@@ -657,3 +657,84 @@ def dedup_increment(
         )
         .drop("nid", "_hit", "_rep_cid")
     )
+
+
+def pack_table(clips: DataFrame, budget_ms: int = 3000) -> DataFrame:
+    """Packing stage producing a VALID clips table of training EXAMPLES:
+    pcm16 rows (run `normalize` first — it emits uniform pcm16) are
+    folded into <= ``budget_ms`` packs by greedy next-fit inside
+    deterministic hash-ordered groups, then each pack's payloads are
+    physically CONCATENATED (JVM binary fold — bytes never enter
+    Python) with transcripts joined in the same order and ``parents``
+    carrying lineage. Rows longer than the budget pack alone; non-pcm16
+    rows are dropped (mixed codecs cannot concatenate — the stage
+    contract is normalize -> segment -> dedup -> pack). Packing groups
+    key on (sr_hz, hash-group) so a pack never mixes sample rates.
+
+    Scale shape: the packing DECISION runs on a SLIM frame (id, hash,
+    duration from byte length — no payloads through Python); payloads
+    shuffle exactly once, on the join that co-locates each pack's
+    members, then reduce in a single collect_list aggregation whose
+    output is the training row."""
+    import pandas as pd
+
+    slim = clips.filter(F.col("codec") == "pcm16").select(
+        "clip_id",
+        "sr_hz",
+        F.pmod(F.xxhash64("clip_id"), F.lit(1_000_000_007)).alias("h"),
+        F.expr("(length(bytes) DIV 2) * 1000").alias("_ns1000"),
+    ).select(
+        "clip_id",
+        "sr_hz",
+        "h",
+        F.expr("_ns1000 DIV sr_hz").alias("dur_ms"),
+    ).withColumn("grp", F.pmod(F.col("h"), F.lit(64)).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "clip_id"]).reset_index(drop=True)
+        packs, used, cur = [], 0, 0
+        for d in pdf["dur_ms"]:
+            if packs and used + d > budget_ms:
+                cur += 1
+                used = 0
+            used += int(d)
+            packs.append(cur)
+        pdf["pack_id"] = pd.Series(packs, dtype="int32")
+        return pdf[["clip_id", "sr_hz", "grp", "h", "pack_id"]]
+
+    assign = slim.groupBy("sr_hz", "grp").applyInPandas(
+        pack, "clip_id string, sr_hz int, grp int, h long, pack_id int"
+    )
+    members = clips.select("clip_id", "bytes", "transcript").join(
+        assign, "clip_id"
+    )
+    ms = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "h",
+                "clip_id",
+                F.col("bytes").alias("b"),
+                F.coalesce(F.col("transcript"), F.lit("")).alias("tr"),
+            )
+        )
+    )
+    agg = members.groupBy("sr_hz", "grp", "pack_id").agg(ms.alias("ms"))
+    payload = F.aggregate(
+        "ms", F.expr("X''"), lambda acc, m: F.concat(acc, m["b"])
+    )
+    return agg.select(
+        F.concat_ws(
+            "-", F.lit("pack"), F.col("sr_hz"), F.col("grp"), F.col("pack_id")
+        ).alias("clip_id"),
+        payload.alias("bytes"),
+        F.lit("pcm16").alias("codec"),
+        F.col("sr_hz"),
+        F.array_join(
+            F.transform(F.col("ms"), lambda m: m["tr"]), " "
+        ).alias("transcript"),
+        F.transform(F.col("ms"), lambda m: m["clip_id"]).alias("parents"),
+        F.size("ms").alias("n_members"),
+    ).withColumn(
+        "dur_ms",
+        F.expr("((length(bytes) DIV 2) * 1000) DIV sr_hz").cast("int"),
+    )

@@ -506,3 +506,18 @@ def test_speech_rate_qc_is_map_only(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("ArrowEvalPython (") == 1, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_pack_stage_keeps_payloads_out_of_python(spark, clips_t2k):
+    """The packing DECISION crosses into Python on a slim frame only —
+    the FlatMapGroupsInPandas node must not carry the payload column;
+    the payload concatenation is a JVM binary fold."""
+    from qcflow.pipeline import pack_table
+
+    clips = spark.read.parquet(clips_t2k).limit(50)
+    p = plan_of(pack_table(clips))
+    assert "FlatMapGroupsInPandas" in p, p
+    seg = p[p.index("FlatMapGroupsInPandas") :]
+    head = seg[: seg.index("\n")]
+    assert "bytes" not in head, head
+    assert "BatchEvalPython" not in p, p
