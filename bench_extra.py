@@ -1,0 +1,52 @@
+"""Extra benchmarks (guide §1.4 noop-sink isolation) — NOT the driver
+contract; bench.py stays frozen. Usage:
+
+  python bench_extra.py sweep_times [sf_dir]   # time all registry queries
+  python bench_extra.py stages                 # isolate qc-pipeline stages
+
+Prints one JSON line per mode. Methodology mirrors bench.py: warm page
+cache, get_spark(local[$SPARK_GRAFT_CPUS]), noop sinks, min-of-2 where a
+key crosses the vdisk.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _warm(path: str) -> None:
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
+def sweep_times(sf_dir: str) -> int:
+    from qcflow.parity import QUERIES
+    from qcflow.session import get_spark
+
+    spark = get_spark("qcflow-bench-extra")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(sf_dir)
+    out = {}
+    for name, fn in sorted(QUERIES.items()):
+        spark.sparkContext.setJobDescription(f"sweep:{name}")
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            out[name] = f"ERR {str(ex)[:100]}"
+    print(json.dumps({"mode": "sweep_times", "sf_dir": sf_dir, "times": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sweep_times"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sys.exit(sweep_times(sf) if mode == "sweep_times" else 1)

@@ -346,6 +346,11 @@ def _split_grains_pandas(gpdf, snapshot_id: int):
         dr = pd.DataFrame(columns=["bucket", "lang", "drop_reason", "n"])
     dr["kind"] = "drop_reasons"
     dr["bin"] = pd.array([None] * len(dr), dtype="Int32")
+    # nullable string dtype on every frame's drop_reason: an object
+    # column that is ALL-NA makes pd.concat's dtype inference emit a
+    # FutureWarning (and will change behavior in a future pandas) —
+    # explicit dtypes keep the concat deterministic
+    dr["drop_reason"] = dr["drop_reason"].astype("string")
 
     cf = (
         cube.groupby(["bucket", "lang", "conf_bin"], dropna=False)["n"]
@@ -354,12 +359,17 @@ def _split_grains_pandas(gpdf, snapshot_id: int):
         .rename(columns={"conf_bin": "bin"})
     )
     cf["kind"] = "lang_conf"
-    cf["drop_reason"] = None
+    cf["drop_reason"] = pd.array([None] * len(cf), dtype="string")
+    cf["bin"] = cf["bin"].astype("Int32")
 
     pp = ppl[["bucket", "lang", "ppl_bin", "n"]].rename(
         columns={"ppl_bin": "bin"}
     )
-    pp = pp.assign(kind="ppl_hist", drop_reason=None)
+    pp = pp.assign(
+        kind="ppl_hist",
+        drop_reason=pd.array([None] * len(pp), dtype="string"),
+    )
+    pp["bin"] = pp["bin"].astype("Int32")
 
     cols = ["kind", "bucket", "lang", "drop_reason", "bin", "n"]
     partials = pd.concat(

@@ -534,14 +534,27 @@ def a8_percentile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-skipping like np.nanpercentile. Exact `percentile` (correctness
     mode); the pipeline swaps in approx_percentile at bench scale."""
     li = t(spark, sf_dir, "lineitem")
-    q = lambda c, p: F.percentile(F.col(c), F.lit(p))  # noqa: E731
-    iqr = q("l_quantity", 0.75) - q("l_quantity", 0.25)
-    return li.agg(
-        F.round(q("l_quantity", 0.025), 4).alias("p_low"),
-        F.round(q("l_quantity", 0.975), 4).alias("p_high"),
-        F.round(q("l_quantity", 0.25) - 1.5 * iqr, 4).alias("fence_low"),
-        F.round(q("l_quantity", 0.75) + 1.5 * iqr, 4).alias("fence_high"),
-        F.round(q("l_extendedprice", 0.95), 4).alias("p95_price"),
+    # ONE percentile buffer per column (array-of-percentages form) instead
+    # of one per threshold: exact Percentile is a TypedImperativeAggregate
+    # whose buffer holds every value, so 4 separate l_quantity percentiles
+    # would build (and sort) 4 full-column buffers — the array form builds
+    # one and reads it at 4 points, bit-identical interpolation per point.
+    qarr = li.agg(
+        F.percentile(
+            F.col("l_quantity"),
+            F.array(F.lit(0.025), F.lit(0.25), F.lit(0.75), F.lit(0.975)),
+        ).alias("_q"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.95)).alias("_p95"),
+    )
+    q025, q25 = F.element_at("_q", 1), F.element_at("_q", 2)
+    q75, q975 = F.element_at("_q", 3), F.element_at("_q", 4)
+    iqr = q75 - q25
+    return qarr.select(
+        F.round(q025, 4).alias("p_low"),
+        F.round(q975, 4).alias("p_high"),
+        F.round(q25 - 1.5 * iqr, 4).alias("fence_low"),
+        F.round(q75 + 1.5 * iqr, 4).alias("fence_high"),
+        F.round(F.col("_p95"), 4).alias("p95_price"),
     )
 
 

@@ -47,8 +47,30 @@ def query(name: str, oracle: str | None = None):
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load the named driver parquet tables (all of TABLES when empty)."""
     names = names or TABLES
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: t(spark, sf_dir, n) for n in names}
+
+
+# Analyzed-DataFrame cache for the (immutable) driver star-schema tables:
+# every spark.read.parquet call pays a footer/schema + listing roundtrip
+# (~0.2-0.3 s, CLAUDE.md r5 lesson), and a parity sweep / bench session
+# reads the same handful of tables hundreds of times. This caches only
+# the ANALYZED plan (schema + file listing) — every action still scans
+# the parquet data, so no results or intermediates are reused. Keyed by
+# applicationId so a restarted session never sees a dead plan; entries
+# of other applications are evicted on allocation (the _MODEL_BC_CACHE
+# pattern).
+_READ_CACHE: dict = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(f"{sf_dir}/{name}.parquet"))
+    df = _READ_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _READ_CACHE if k[0] != app]:
+            del _READ_CACHE[stale]
+        df = spark.read.parquet(key[1])
+        _READ_CACHE[key] = df
+    return df

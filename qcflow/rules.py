@@ -42,16 +42,27 @@ def derive_thresholds(feats: DataFrame, exact: bool = True) -> Thresholds:
     """One pass over the scored feature frame -> 4 scalars. Exact
     `percentile` for label parity; `approx_percentile` (epsilon sketch,
     single pass, mergeable across partitions) at bench scale."""
+    # ONE percentile buffer per column: cps needs two thresholds, and the
+    # exact Percentile buffer holds every value — the array form builds
+    # (and sorts) the cps buffer once and reads it at both points with
+    # bit-identical interpolation. Same for the approx sketch: one
+    # QuantileSummaries per column, queried at each p (query results are
+    # independent of how many points are read).
     if exact:
-        q = lambda c, p: F.percentile(F.col(c), F.lit(p))  # noqa: E731
+        q = lambda c, p: F.percentile(F.col(c), p)  # noqa: E731
     else:
-        q = lambda c, p: F.approx_percentile(F.col(c), F.lit(p), F.lit(10000))  # noqa: E731
+        q = lambda c, p: F.approx_percentile(F.col(c), p, F.lit(10000))  # noqa: E731
     row = feats.agg(
-        q("distinct_ratio", P_REPETITION).alias("repetition_lo"),
-        q("cps", P_CPS[0]).alias("cps_lo"),
-        q("cps", P_CPS[1]).alias("cps_hi"),
-        q("perplexity", P_PPL).alias("ppl_hi"),
+        q("distinct_ratio", F.lit(P_REPETITION)).alias("repetition_lo"),
+        q("cps", F.array(F.lit(P_CPS[0]), F.lit(P_CPS[1]))).alias("_cps"),
+        q("perplexity", F.lit(P_PPL)).alias("ppl_hi"),
     ).collect()[0]
+    row = {
+        "repetition_lo": row["repetition_lo"],
+        "cps_lo": None if row["_cps"] is None else row["_cps"][0],
+        "cps_hi": None if row["_cps"] is None else row["_cps"][1],
+        "ppl_hi": row["ppl_hi"],
+    }
     if any(row[k] is None for k in ("repetition_lo", "cps_lo", "cps_hi", "ppl_hi")):
         raise ValueError(
             "cannot derive thresholds: input is empty or every feature is "
