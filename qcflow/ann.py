@@ -336,34 +336,70 @@ def ivf_topk(
     lists = assign_clusters(
         corpus, centroids, emb_col=emb_col, id_col=id_col
     ).withColumn("nrm", nrm)
-    scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
-    probes = (
-        queries.withColumn("_s", scores)
-        .withColumn("nrm", nrm)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(emb_col).alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.transform(
-                                F.sequence(F.lit(1), F.lit(len(centroids))),
-                                lambda i: F.struct(
-                                    F.element_at(F.col("_s"), i.cast("int")).alias("d"),
-                                    i.cast("int").alias("idx"),
-                                ),
-                            )
+    n_terms = int(centroids.shape[0]) * int(centroids.shape[1])
+    if n_terms <= 512:
+        # small-codebook hot path: per-query literal distance array in one
+        # projection (same dispatch threshold as assign_clusters — beyond
+        # it, Catalyst ANALYSIS of the k*d fold terms dominates runtime)
+        scores = F.array(*[_sq_dist(emb_col, c) for c in centroids])
+        probes = (
+            queries.withColumn("_s", scores)
+            .withColumn("nrm", nrm)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("q_emb"),
+                F.col("nrm").alias("q_nrm"),
+                F.explode(
+                    F.slice(
+                        F.transform(
+                            F.array_sort(
+                                F.transform(
+                                    F.sequence(F.lit(1), F.lit(len(centroids))),
+                                    lambda i: F.struct(
+                                        F.element_at(F.col("_s"), i.cast("int")).alias("d"),
+                                        i.cast("int").alias("idx"),
+                                    ),
+                                )
+                            ),
+                            lambda s: s["idx"],
                         ),
-                        lambda s: s["idx"],
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("probe"),
+                        1,
+                        nprobe,
+                    )
+                ).alias("probe"),
+            )
         )
-    )
+    else:
+        # broadcast-TABLE probe selection (the assign_clusters join
+        # strategy): centroids ship as data, each query row joins the k
+        # centroid rows and keeps its nprobe nearest via a per-query
+        # window over the SAME lexicographic (d, idx) struct order the
+        # literal path's array_sort uses — identical float distances
+        # (numpy-summed |c|^2 + the shared sequential-fold dot), so the
+        # probe set matches the literal path exactly. Q*k tiny rows
+        # shuffle once; no k*d expression tree to analyze.
+        cdf = _centroids_df(queries, centroids)
+        d = -2.0 * _dot(F.col("q_emb"), F.col("c_emb")) + F.col("c_sqn")
+        pr_scored = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(emb_col).alias("q_emb"),
+                nrm.alias("q_nrm"),
+            )
+            .join(F.broadcast(cdf))
+            .select(
+                "query_id",
+                "q_emb",
+                "q_nrm",
+                F.struct(d.alias("d"), F.col("cluster").alias("idx")).alias("s"),
+            )
+        )
+        w_pr = Window.partitionBy("query_id").orderBy("s")
+        probes = (
+            pr_scored.withColumn("_pr", F.row_number().over(w_pr))
+            .filter(F.col("_pr") <= nprobe)
+            .select("query_id", "q_emb", "q_nrm", F.col("s.idx").alias("probe"))
+        )
     dot = _dot(F.col("q_emb"), F.col(emb_col))
     cond = F.col("cluster") == F.col("probe")
     if exclude_self:
@@ -645,6 +681,7 @@ def pq_adc_topk_df(
     exclude_self: bool = False,
     broadcast_queries: bool = True,
     n_corpus_buckets: int = 64,
+    query_lut_col: str | None = None,
 ) -> DataFrame:
     """DataFrame-native batch ADC top-k: the queries are ANY DataFrame
     with (query_id, q_emb) — they never need to be driver-resident. The
@@ -663,18 +700,30 @@ def pq_adc_topk_df(
     codes are bucketed by hash(id) % ``n_corpus_buckets`` and each query
     row is replicated once per bucket, so the pairing becomes a SHUFFLE
     hash join on the bucket key — no driver-sized broadcast, both sides
-    distributed. Scoring and ranking are unchanged (same floats)."""
+    distributed. Scoring and ranking are unchanged (same floats).
+
+    ``query_lut_col`` names a PRECOMPUTED array<array<double>> LUT column
+    on ``queries_df`` (the driver-resident-query fast path: ``pq_lut`` is
+    the documented bit-exact twin of the in-frame fold, and shipping the
+    LUT as data skips the M*ks*dsub-term expression tree whose Catalyst
+    analysis — not execution — dominates the LUT projection)."""
     M = codebooks.shape[0]
-    # normalize names FIRST, compute in a second select: referencing a
-    # same-name alias from a sibling expression trips Spark 4's lateral
-    # alias resolution (internal analyzer error)
-    q0 = queries_df.select(
-        F.col(query_id_col).cast("long").alias("query_id"),
-        F.col(query_emb_col).alias("q_emb"),
-    )
-    q = q0.select(
-        "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
-    )
+    if query_lut_col is not None:
+        q = queries_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_lut_col).alias("_lut"),
+        )
+    else:
+        # normalize names FIRST, compute in a second select: referencing a
+        # same-name alias from a sibling expression trips Spark 4's lateral
+        # alias resolution (internal analyzer error)
+        q0 = queries_df.select(
+            F.col(query_id_col).cast("long").alias("query_id"),
+            F.col(query_emb_col).alias("q_emb"),
+        )
+        q = q0.select(
+            "query_id", _lut_ip_col(F.col("q_emb"), codebooks).alias("_lut")
+        )
     not_self = F.col(id_col) != F.col("query_id")
     if broadcast_queries:
         joined = codes.join(
@@ -734,13 +783,34 @@ def pq_adc_topk(
         raise ValueError("pq_adc_topk: queries must be non-empty")
     M = codebooks.shape[0]
     if not inline:
+        # driver-resident queries: precompute each LUT with pq_lut (the
+        # bit-exact driver twin of the in-frame fold) and ship it as DATA
+        # in the query frame — the in-frame _lut_ip_col path builds an
+        # M*ks*dsub-term expression tree whose Catalyst analysis time
+        # scales with the codebook, not the data (the assign_clusters
+        # dispatch lesson). Same floats, same plan shape minus the tree.
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "query_id": [int(qid) for qid, _ in queries],
+                "q_lut": [
+                    pq_lut(np.asarray(qvec, dtype=np.float64), codebooks)
+                    for qid, qvec in queries
+                ],
+            }
+        )
+        qdf = codes.sparkSession.createDataFrame(
+            pdf, "query_id long, q_lut array<array<double>>"
+        )
         return pq_adc_topk_df(
             codes,
-            _queries_df(codes, queries),
+            qdf,
             codebooks,
             k=k,
             id_col=id_col,
             exclude_self=True,  # queries are corpus rows (leave-one-out)
+            query_lut_col="q_lut",
         )
     per_q = []
     for qid, qvec in queries:

@@ -100,7 +100,14 @@ def align_transcript_segments(df: DataFrame, win_ms: int = 400) -> DataFrame:
     sr_eff = F.when(valid_sr_col(), F.col("sr_hz").cast("long")).otherwise(
         F.lit(8000)
     )
-    win_n = (sr_eff * win_ms / 1000.0).cast("long")
+    # bround = round-half-even, the SAME rounding udfs.segment_clips'
+    # int(round(...)) applies — float truncation diverged from the actual
+    # segment grid for non-default win_ms with a .5+ fraction (e.g.
+    # sr=22050, win_ms=30: 661.5 -> 661 vs 662), silently mislabeling
+    # segments through the CLI's --win-ms (advisor r5 finding). All
+    # VALID_SR x 400 ms grids are exact integers, so default-path output
+    # is unchanged.
+    win_n = F.bround(sr_eff * win_ms / 1000.0).cast("long")
     n_full = (F.col("n_samples") / F.col("win_n")).cast("long")
     rem = F.col("n_samples") - n_full * F.col("win_n")
     min_keep = F.greatest(F.lit(1), F.ceil(F.col("win_n") / 2.0).cast("long"))

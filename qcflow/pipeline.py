@@ -662,7 +662,10 @@ def dedup_increment(
 def pack_table(clips: DataFrame, budget_ms: int = 3000) -> DataFrame:
     """Packing stage producing a VALID clips table of training EXAMPLES:
     pcm16 rows (run `normalize` first — it emits uniform pcm16) are
-    folded into <= ``budget_ms`` packs by greedy next-fit inside
+    folded into ~``budget_ms`` packs (the next-fit decision sums
+    per-member floor(dur_ms), so a pack's exact emitted duration can
+    exceed the budget by up to n_members - 1 ms of accumulated sub-ms
+    floor losses) by greedy next-fit inside
     deterministic hash-ordered groups, then each pack's payloads are
     physically CONCATENATED (JVM binary fold — bytes never enter
     Python) with transcripts joined in the same order and ``parents``
@@ -678,9 +681,17 @@ def pack_table(clips: DataFrame, budget_ms: int = 3000) -> DataFrame:
     output is the training row."""
     import pandas as pd
 
+    from qcflow.features import valid_sr_col
+
+    # defect rows (the synth table plants sr_hz=0 on ~1% of pcm16 rows)
+    # must not ANSI-throw in the duration division: ride the same
+    # valid-sr-else-8000 fallback segment_table uses, and key the pack
+    # group on the EFFECTIVE rate so a bad-sr row never lands in a
+    # mixed-rate pack (advisor r5 finding)
+    sr_eff = F.when(valid_sr_col(), F.col("sr_hz")).otherwise(F.lit(8000))
     slim = clips.filter(F.col("codec") == "pcm16").select(
         "clip_id",
-        "sr_hz",
+        sr_eff.alias("sr_hz"),
         F.pmod(F.xxhash64("clip_id"), F.lit(1_000_000_007)).alias("h"),
         F.expr("(length(bytes) DIV 2) * 1000").alias("_ns1000"),
     ).select(
@@ -705,7 +716,12 @@ def pack_table(clips: DataFrame, budget_ms: int = 3000) -> DataFrame:
     assign = slim.groupBy("sr_hz", "grp").applyInPandas(
         pack, "clip_id string, sr_hz int, grp int, h long, pack_id int"
     )
-    members = clips.select("clip_id", "bytes", "transcript").join(
+    tr_col = (
+        F.col("transcript")
+        if "transcript" in clips.columns
+        else F.lit("").alias("transcript")
+    )
+    members = clips.select("clip_id", "bytes", tr_col).join(
         assign, "clip_id"
     )
     ms = F.array_sort(

@@ -50,6 +50,18 @@ def get_spark(
         # bytes-column scan). 512 keeps buffers ~60 MB with no measurable
         # cost on narrow scans.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # split payload scans finer than the 128m default: the clip table
+        # is ~110 MB/file of incompressible audio bytes, and a filtered
+        # slice of it (the decode-stage unit of work) otherwise lands on
+        # one task per file — 11 tasks for the bench's 10k slice on 32
+        # cores. 32m x 16 MB row groups (synth writer) keeps every decode
+        # stage at full width; map-only stages feed no shuffle, so the
+        # extra task count costs only scheduling. Parameterized: a real
+        # cluster scanning narrow tables wants the default or larger.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("QCFLOW_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.driver.memory", os.environ.get("QCFLOW_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

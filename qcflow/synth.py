@@ -163,11 +163,16 @@ def generate_clips(spark, n_rows: int, out_dir: str, partitions: int | None = No
     # audio bytes are incompressible (synthetic PCM/u-law of noisy tones);
     # snappy burns scan CPU for ~1.0 ratio — store uncompressed so the
     # decode path reads at memcpy speed
+    # small row groups (16 MB vs the 128 MB default) keep the payload
+    # files SPLITTABLE: a parquet split can only start at a row-group
+    # boundary, so a 110 MB single-group file caps any slice of the table
+    # at one task per file (the bench's 10k-clip slice ran 11-wide on 32
+    # cores). Identical rows, same files — only the group boundaries move.
     rng_df.mapInPandas(gen(True), schema).select(
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
-    ).write.mode("overwrite").option("compression", "uncompressed").parquet(
-        f"{out_dir}/clips.parquet"
-    )
+    ).write.mode("overwrite").option("compression", "uncompressed").option(
+        "parquet.block.size", 16 * 1024 * 1024
+    ).parquet(f"{out_dir}/clips.parquet")
     rng_df.mapInPandas(gen(False), schema).select(
         "clip_id", "true_lang", "planted"
     ).write.mode("overwrite").parquet(f"{out_dir}/clips_meta.parquet")

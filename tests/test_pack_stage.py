@@ -42,7 +42,12 @@ def test_pack_table_concatenates_exactly(spark, clips_t2k):
         )
         assert r.transcript == want_tr
         if r.n_members > 1:
-            assert r.dur_ms <= 3000
+            # the next-fit decision sums per-member FLOOR(dur) while the
+            # emitted dur_ms is the floor of the exact concatenated
+            # duration, so accumulated sub-ms floor losses can push a
+            # pack up to n_members - 1 ms past the budget (advisor r5
+            # finding: the bare <= budget assert held on fixture luck)
+            assert r.dur_ms <= 3000 + r.n_members - 1
         seen.extend(r.parents)
     assert sorted(seen) == sorted(src.index)
 
@@ -83,3 +88,30 @@ def test_cli_pack_stage(tmp_path, clips_t2k, spark):
     assert summary["cmd"] == "pack"
     assert summary["n_packed"] == 30, summary
     assert summary["n_packs"] >= 1
+
+
+def test_pack_table_survives_defect_rows(spark, clips_t2k):
+    """Raw (non-normalized) tables carry defect rows — sr_hz=0 pcm16, no
+    transcript column — and the pack stage must neither ANSI-throw on
+    the duration division nor fail analysis on the missing column
+    (advisor r5 findings). Bad-sr rows pack on the 8000 Hz fallback
+    grid, the same effective rate every other stage assigns them."""
+    base = (
+        spark.read.parquet(clips_t2k)
+        .filter(F.col("bytes").isNotNull() & (F.col("codec") == "pcm16"))
+        .limit(20)
+        .drop("transcript")
+    )
+    defect = base.withColumn(
+        "sr_hz",
+        F.when(F.monotonically_increasing_id() % 5 == 0, F.lit(0)).otherwise(
+            F.col("sr_hz")
+        ),
+    )
+    out = pack_table(defect).toPandas()
+    assert len(out) > 0
+    assert (out["transcript"] == "").all()  # lit('') substitute
+    assert set(out["sr_hz"]).issubset({8000, 16000, 22050, 44100, 48000})
+    # every input row lands in exactly one pack despite the defects
+    parents = sorted(p for ps in out["parents"] for p in ps)
+    assert parents == sorted(r.clip_id for r in defect.select("clip_id").collect())
