@@ -589,6 +589,26 @@ def pq_lut(query: np.ndarray, codebooks: np.ndarray) -> list[list[float]]:
     return lut
 
 
+def pq_lut_batch(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Vectorized batch twin of ``pq_lut``: (Q, d) queries -> (Q, M, ks)
+    inner-product LUTs. The accumulation loops over (m, tap) in Python
+    and vectorizes over (query, code), so every element's float64 adds
+    happen in EXACTLY the sequential left-fold order pq_lut uses —
+    outputs are bit-identical (asserted in tests), ~100x fewer
+    interpreter iterations (Q*M*ks*dsub -> M*dsub)."""
+    Q = q.shape[0]
+    M, ks, dsub = codebooks.shape
+    q = np.asarray(q, dtype=np.float64)
+    out = np.zeros((Q, M, ks), dtype=np.float64)
+    for m in range(M):
+        sub = q[:, m * dsub : (m + 1) * dsub]
+        acc = np.zeros((Q, ks), dtype=np.float64)
+        for j in range(dsub):
+            acc = acc + sub[:, j, None] * codebooks[m, None, :, j]
+        out[:, m, :] = acc
+    return out
+
+
 def _queries_df(
     ref: DataFrame, queries: list[tuple[int, np.ndarray]]
 ) -> DataFrame:
@@ -791,13 +811,14 @@ def pq_adc_topk(
         # dispatch lesson). Same floats, same plan shape minus the tree.
         import pandas as pd
 
+        luts = pq_lut_batch(
+            np.stack([np.asarray(v, dtype=np.float64) for _, v in queries]),
+            codebooks,
+        )
         pdf = pd.DataFrame(
             {
                 "query_id": [int(qid) for qid, _ in queries],
-                "q_lut": [
-                    pq_lut(np.asarray(qvec, dtype=np.float64), codebooks)
-                    for qid, qvec in queries
-                ],
+                "q_lut": [lut.tolist() for lut in luts],
             }
         )
         qdf = codes.sparkSession.createDataFrame(

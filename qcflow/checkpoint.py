@@ -560,8 +560,14 @@ def _stage_scores(
     so later bucket-filtered reads are partition-pruned. Returns the
     read-back staged frame."""
     spark = clips.sparkSession
+    # merge the payload-sized scan splits before the narrow UDF pass
+    # (same de-fragmentation as score_clips: splits are tuned to the
+    # pruned-away bytes column)
+    narrow = clips.drop("bytes").coalesce(
+        max(2 * spark.sparkContext.defaultParallelism, 1)
+    )
     feats = with_langid_ppl(
-        clip_features(clips.drop("bytes")), spark
+        clip_features(narrow), spark
     ).withColumn("bucket", bucket_col(n_buckets))
     (
         feats.repartition("bucket")
@@ -977,7 +983,12 @@ def finalize_metrics(spark: SparkSession, out_dir: str) -> None:
             )
         _write_table_dir(
             f"{out_dir}/metrics_quantiles.parquet",
-            pd.DataFrame(rows),
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "lang", "ppl_p50", "ppl_p99", "conf_p50", "conf_p99",
+                ],
+            ),
             [
                 ("lang", "string"), ("ppl_p50", "double"),
                 ("ppl_p99", "double"), ("conf_p50", "double"),

@@ -42,14 +42,6 @@ from qcflow.rules import (
     derive_thresholds,
 )
 from qcflow.scrub import scrub
-from qcflow.summary import (
-    cube_conf_histogram,
-    cube_drop_reasons,
-    cube_lineage,
-    metrics_grains,
-    metrics_partials,
-    quantile_metrics,
-)
 from qcflow.udfs import with_langid_ppl
 
 N_BUCKETS = 64
@@ -139,6 +131,10 @@ def score_clips(
             dec_r = spark.read.parquet(f"{stage_dir}/acoustic.parquet")
 
         narrow = clips.drop("bytes").withColumn("bucket", bucket_col(n_buckets))
+        # same narrow-frame de-fragmentation as the main path below
+        narrow = narrow.coalesce(
+            max(2 * spark.sparkContext.defaultParallelism, 1)
+        )
         narrow = with_langid_ppl(clip_features(narrow), spark)
         df = narrow.join(dec_r, "clip_id")
         # the joined frame feeds threshold derivation AND the rule pass —
@@ -169,6 +165,13 @@ def score_clips(
     else:
         # Binary column discipline: never carry `bytes` past the scan.
         df = df.drop("bytes")
+    # the payload-sized scan splits (files.maxPartitionBytes is tuned to
+    # the BYTES column) over-fragment this narrow frame — merge to
+    # ~2x cores without a shuffle so the persisted frame and every
+    # downstream action run data-sized tasks, not one per 32 MB of
+    # (pruned-away) audio payload. No-op when upstream is already
+    # narrower; scales with cluster parallelism, not a constant.
+    df = df.coalesce(max(2 * spark.sparkContext.defaultParallelism, 1))
     df = clip_features(df)
     df = with_langid_ppl(df, spark)
     # The UDF output feeds both threshold derivation and the rule pass, so
@@ -231,77 +234,103 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     path (snapshot_id=0 everywhere, lineage kind='append'), so
     qcflow.checkpoint readers — read_committed, resume, vacuum,
     process_increment — work on a plain-run directory instead of
-    crashing on missing columns."""
+    crashing on missing columns.
+
+    Fixed-cost shape (r6, the _write_attempt/r5-resume lesson applied to
+    the one-shot): exactly THREE Spark jobs — kept write, dropped write,
+    and ONE collect of the grouping-sets grains frame (both metric
+    grains + lineage counts in one shuffle, dimension-sized at any
+    corpus size). Partials, lineage and the three final metrics tables
+    are split/merged in pandas (checkpoint's kernels — row-identical to
+    the Spark aggregations, pinned by tests) and written driver-side via
+    pyarrow: the previous five pooled dimension-sized Spark writes were
+    latency-bound job overhead, ~2-3x the scoring cost at bench scale."""
+    import pandas as pd
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from qcflow.checkpoint import (
+        _LINEAGE_PA_SCHEMA,
+        _PARTIALS_PA_SCHEMA,
+        _PARTIALS_SPEC,
+        _append_parquet_file,
+        _split_grains_pandas,
+        finalize_metrics,
+    )
+    from qcflow.summary import grains_frame
+
     scored = res.scored
+    spark = scored.sparkSession
     snap = F.lit(0).cast("long").alias("snapshot_id")
     kept = scored.filter(F.col("keep")).select(*KEEP_COLS, snap)
     dropped = scored.filter(~F.col("keep")).select(*DROP_COLS, snap)
-    # metrics + lineage all derive from ONE grouping-sets aggregate over
-    # the scored frame (both grains, one shuffle — at 10^12 rows the
-    # second full metrics pass is the cost that matters); the result is
-    # dimension-sized, so pinning it is free
-    cube, ppl_hist = metrics_grains(scored)
-    lin = cube_lineage(cube).select(
-        F.lit(0).cast("long").alias("snapshot_id"),
-        F.lit("append").alias("kind"),
-        "bucket",
-        "n_input",
-        "n_kept",
-        "n_dropped",
-    )
 
-    # the seven outputs are independent jobs over already-materialized
-    # inputs (the persisted scored frame / the checkpointed grains):
-    # submit them from a thread pool so the dimension-sized metric
-    # writes (latency-bound: a couple of tiny tasks + driver round
-    # trips each) hide behind the kept/dropped shuffles instead of
-    # serializing after them. Partials go under snapshot 0, so the
-    # checkpoint readers (read_metrics, finalize_metrics, vacuum) work
-    # on a one-shot directory too.
-    writes = [
-        lambda: kept.repartition("bucket")
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(f"{out_dir}/kept.parquet"),
-        lambda: dropped.repartition("bucket")
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(f"{out_dir}/dropped.parquet"),
-        lambda: cube_drop_reasons(cube, "lang")
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_drop_reasons.parquet"),
-        lambda: cube_conf_histogram(cube)
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_lang_conf.parquet"),
-        lambda: metrics_partials(cube, ppl_hist)
-        .select(snap, "kind", "bucket", "lang", "drop_reason", "bin", "n")
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_partials.parquet"),
-        lambda: quantile_metrics(
-            ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
-            cube_conf_histogram(cube),
-        )
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(f"{out_dir}/metrics_quantiles.parquet"),
-        lambda: lin.coalesce(1).write.mode(mode).parquet(
-            f"{out_dir}/lineage.parquet"
-        ),
-    ]
-    from concurrent.futures import ThreadPoolExecutor
+    def _kept_write():
+        # rebalance (not repartition): still clusters rows by bucket so
+        # each directory gets contiguous writers, but AQE sizes the task
+        # count to the DATA (guide: REBALANCE before partitioned writes)
+        # — a fixed spark.sql.shuffle.partitions fan-out made every
+        # dimension-sized write pay ~64 near-empty reduce tasks, and at
+        # scale it caps writer parallelism; oversized buckets may split
+        # into several files per directory, which is the correct
+        # at-scale behavior
+        kept.hint("rebalance", "bucket").write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(f"{out_dir}/kept.parquet")
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        for fut in [ex.submit(w) for w in writes]:
-            fut.result()
-    # totals from the (bucket-sized) lineage table — no extra full scan;
-    # NULL sums (empty input) count as zero
-    counts = (
-        lin.agg(F.sum("n_input").alias("n"), F.sum("n_kept").alias("kept")).collect()[0]
+    def _dropped_write():
+        dropped.hint("rebalance", "bucket").write.mode(mode).partitionBy(
+            "bucket"
+        ).parquet(f"{out_dir}/dropped.parquet")
+
+    def _grains_collect():
+        return grains_frame(scored).toPandas()
+
+    # three independent jobs over the already-materialized scored frame
+    # (score_clips persisted/staged it) — submitted together so the
+    # dimension-sized grains shuffle hides behind the kept/dropped ones
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(_kept_write),
+            ex.submit(_dropped_write),
+            ex.submit(_grains_collect),
+        ]
+        _, _, gpdf = [f.result() for f in futs]
+
+    partials, by_bucket = _split_grains_pandas(gpdf, 0)
+    if not len(partials):
+        # keep the empty-input table contract: a schema-complete empty
+        # partials table (the Spark path wrote one too)
+        partials = pd.DataFrame({n: [] for n, _ in _PARTIALS_SPEC})
+    if mode == "overwrite":
+        import shutil
+
+        for tbl in ("metrics_partials", "lineage"):
+            shutil.rmtree(f"{out_dir}/{tbl}.parquet", ignore_errors=True)
+    _append_parquet_file(
+        f"{out_dir}/metrics_partials.parquet",
+        partials,
+        _PARTIALS_PA_SCHEMA,
+        "snap0000000000",
     )
-    return {"n_input": int(counts["n"] or 0), "n_kept": int(counts["kept"] or 0)}
+    lin_pdf = pd.DataFrame(
+        [(0, "append", b, *by_bucket[b]) for b in sorted(by_bucket)],
+        columns=[
+            "snapshot_id", "kind", "bucket", "n_input", "n_kept", "n_dropped",
+        ],
+    )
+    _append_parquet_file(  # the commit point, written last like resume
+        f"{out_dir}/lineage.parquet",
+        lin_pdf,
+        _LINEAGE_PA_SCHEMA,
+        "snap0000000000",
+    )
+    # final merged metrics tables — pandas kernels, zero Spark jobs
+    finalize_metrics(spark, out_dir)
+    return {
+        "n_input": int(sum(v[0] for v in by_bucket.values())),
+        "n_kept": int(sum(v[1] for v in by_bucket.values())),
+    }
 
 
 def normalize_clips(

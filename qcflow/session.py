@@ -37,6 +37,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan ABOVE cached relations (off by default): the QC
+        # pipeline's dimension-sized aggregates/writes over the persisted
+        # scored frame otherwise run at the full static shuffle fan-out —
+        # measured 64 near-empty reduce tasks costing ~3 s per action at
+        # bench scale, coalesced to data-sized tasks with this on. Only
+        # output PARTITIONING of cached plans may change, never values;
+        # every oracle-gated query is layout-invariant by design
+        # (CLAUDE.md percentile_approx discipline).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio `bytes` rows are large; keep Arrow batches bounded so a

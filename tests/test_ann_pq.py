@@ -411,3 +411,20 @@ def test_external_ids_and_shuffle_join_paths(spark):
         assert "Broadcast" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pq_lut_batch_bit_identical():
+    """pq_adc_topk ships pq_lut_batch output as data; it must match the
+    scalar pq_lut fold bit-for-bit (same sequential left-fold order per
+    element) or ADC scores drift off the construction-truth gates."""
+    import numpy as np
+
+    from qcflow.ann import pq_lut, pq_lut_batch
+
+    rng = np.random.default_rng(11)
+    for M, ks, dsub in ((8, 16, 8), (4, 256, 16)):
+        cb = rng.normal(0, 1, (M, ks, dsub))
+        q = rng.normal(0, 1, (17, M * dsub))
+        batch = pq_lut_batch(q, cb)
+        for i in range(len(q)):
+            assert batch[i].tolist() == pq_lut(q[i], cb)

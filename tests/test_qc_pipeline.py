@@ -307,3 +307,96 @@ def test_stage_persist_equals_parquet(spark, clips_dir):
         )
         res.release()
     pd.testing.assert_frame_equal(frames["parquet"], frames["persist"])
+
+
+def test_write_outputs_metrics_match_spark_kernels(spark, clips_t2k, tmp_path):
+    """write_outputs lands partials/lineage/metrics via the pandas
+    kernels (driver-side pyarrow, 3 Spark jobs total); every written
+    table must be row-identical to the Spark aggregation twins in
+    qcflow.summary — the cross-engine check that keeps the two
+    implementations pinned together (test_resume compares resumable vs
+    one-shot, which now share the pandas path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qcflow.pipeline import score_clips, write_outputs
+    from qcflow.summary import (
+        cube_conf_histogram,
+        cube_drop_reasons,
+        cube_lineage,
+        metrics_grains,
+        metrics_partials,
+        quantile_metrics,
+    )
+
+    clips = spark.read.parquet(clips_t2k).limit(600)
+    res = score_clips(spark, clips, exact_thresholds=True)
+    out = str(tmp_path / "one_shot")
+    counts = write_outputs(res, out)
+
+    def norm(pdf, keys):
+        # keys as strings for a total sort order; float payload columns
+        # stay numeric so assert_frame_equal's default tolerance absorbs
+        # the documented cross-engine pow() last-ulp gap (numpy libm vs
+        # Java Math.pow in the quantile upper-edge arithmetic)
+        pdf = pdf.copy()
+        for k in keys:
+            pdf[k] = pdf[k].astype(str)
+        return pdf.sort_values(keys).reset_index(drop=True)
+
+    cube, ppl_hist = metrics_grains(res.scored)
+    pairs = [
+        (
+            "metrics_drop_reasons",
+            cube_drop_reasons(cube, "lang").toPandas(),
+            ["lang", "drop_reason"],
+        ),
+        (
+            "metrics_lang_conf",
+            cube_conf_histogram(cube).toPandas(),
+            ["lang", "conf_bin"],
+        ),
+        (
+            "metrics_quantiles",
+            quantile_metrics(
+                ppl_hist.groupBy("lang", "ppl_bin").agg(F.sum("n").alias("n")),
+                cube_conf_histogram(cube),
+            ).toPandas(),
+            ["lang"],
+        ),
+        (
+            "metrics_partials",
+            metrics_partials(cube, ppl_hist)
+            .withColumn("snapshot_id", F.lit(0).cast("long"))
+            .select(
+                "snapshot_id", "kind", "bucket", "lang", "drop_reason", "bin", "n"
+            )
+            .toPandas(),
+            ["kind", "bucket", "lang", "drop_reason", "bin"],
+        ),
+        (
+            "lineage",
+            cube_lineage(cube)
+            .select(
+                F.lit(0).cast("long").alias("snapshot_id"),
+                F.lit("append").alias("kind"),
+                "bucket",
+                "n_input",
+                "n_kept",
+                "n_dropped",
+            )
+            .toPandas(),
+            ["bucket"],
+        ),
+    ]
+    for name, want, keys in pairs:
+        got = spark.read.parquet(f"{out}/{name}.parquet").toPandas()
+        assert sorted(got.columns) == sorted(want.columns), name
+        got = got[want.columns]
+        pd.testing.assert_frame_equal(
+            norm(got, keys), norm(want, keys), check_dtype=False, obj=name
+        )
+    total = res.scored.count()
+    kept_n = res.scored.filter(F.col("keep")).count()
+    assert counts == {"n_input": total, "n_kept": kept_n}
+    res.release()
