@@ -27,6 +27,30 @@ def _toks():
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a SMALL-FILE corpus over the cluster before per-row-heavy
+    expression work: the documents table is one ~2 MB parquet file at
+    test SFs, so char-level expression passes (bigram/trigram explodes,
+    levenshtein, shingles) otherwise run in ONE scan task regardless of
+    core count. A 2 MB round-robin shuffle is noise next to the
+    expression work it parallelizes; every consumer below is
+    layout-invariant by construction (decimal sums / integer counts /
+    map-only rows)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(2 * sc.defaultParallelism)
+
+
+# bigram explode over a chars ARRAY: `substring(text, i, 2)` per position
+# re-scans the string from the start on every access (UTF8String indexing
+# is O(i)), an O(len^2) pass per document; zip_with over the split chars
+# is O(len) and produces the IDENTICAL bigram strings.
+_BIGRAM_ARR = (
+    "zip_with(slice(split(text, ''), 1, length(text) - 1),"
+    " slice(split(text, ''), 2, length(text) - 1),"
+    " (a, b) -> concat(a, b))"
+)
+
+
 @query(
     "text_langid_heuristic",
     oracle=f"""
@@ -195,11 +219,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-doc polynomial rolling hash (mod
     1e9+7) + winnowing-style minimum over 16-char window hashes. Shared
     integer arithmetic -> the oracle matches bit-for-bit."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(t(spark, sf_dir, "documents"))
+    # One O(len) chars->codes pass, then hashes fold over the codes
+    # ARRAY: the original per-window `ascii(substring(text, i, 1))` form
+    # re-scans the string from the start on every character access
+    # (UTF8String indexing is O(i)), making the winnowing pass
+    # O(len^2 * win) — measured 24 s over 5k docs at sf0.1, ~1 s with
+    # the array form. Identical integer arithmetic (same fold order,
+    # same mod), so the frozen oracle still matches bit-for-bit.
+    codes = (
+        "CASE WHEN length(text) = 0 THEN array(0L, 0L)"
+        " ELSE transform(split(text, ''), c -> bigint(ascii(c))) END"
+    )
+    dochash = (
+        "aggregate(_codes, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+    )
+    winhash = (
+        f"CASE WHEN length(text) >= {_WIN} THEN"
+        f" array_min(transform(sequence(1, length(text) - {_WIN - 1}),"
+        f" j -> aggregate(slice(_codes, j, {_WIN}), 0L,"
+        " (acc, x) -> (acc * 31 + x) % 1000000007)))"
+        f" ELSE {dochash} END"
+    )
     return docs.select(
+        "doc_id", F.col("text"), F.expr(codes).alias("_codes")
+    ).select(
         "doc_id",
-        F.expr(_SPARK_DOCHASH).alias("fingerprint"),
-        F.expr(_SPARK_WINHASH).alias("min_window_hash"),
+        F.expr(dochash).alias("fingerprint"),
+        F.expr(winhash).alias("min_window_hash"),
     )
 
 
@@ -332,7 +379,9 @@ def text_edit_distance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flag marks rows a real pipeline would route to human review.
     Both engines derive the draft with identical integer arithmetic, so
     the oracle checks the full distance computation."""
-    tok = t(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    tok = _spread(t(spark, sf_dir, "documents")).select(
+        "doc_id", _toks().alias("toks")
+    )
     period = F.when(F.col("doc_id") % 5 == 0, F.lit(7)).otherwise(F.lit(29))
     pair = tok.select(
         "doc_id",
@@ -431,11 +480,8 @@ def x_bigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     LN agree despite last-ulp libm differences. At 10^12 docs the only
     corpus-sized stage is the first count's map side; everything after
     is alphabet-sized."""
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
-    bg = docs.select(
-        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
-        "text",
-    ).select(F.expr("substring(text, i, 2)").alias("bigram"))
+    docs = _spread(t(spark, sf_dir, "documents").filter(F.length("text") >= 2))
+    bg = docs.select(F.explode(F.expr(_BIGRAM_ARR)).alias("bigram"))
     counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
     prefix = counts.groupBy(
         F.substring("bigram", 1, 1).alias("c0")
@@ -485,22 +531,20 @@ def x_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     and join back broadcast — nothing after the first count touches
     corpus-sized data. 6-dp rounding per the a8 convention so both
     engines' LN agree."""
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    tri = docs.select(
-        "lang",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
-        "text",
-    ).select(
-        "lang",
-        (
-            (
-                F.ascii(F.expr("substring(text, i, 1)")) * 961
-                + F.ascii(F.expr("substring(text, i + 1, 1)")) * 31
-                + F.ascii(F.expr("substring(text, i + 2, 1)"))
-            )
-            % 4096
-        ).alias("h"),
+    docs = _spread(t(spark, sf_dir, "documents").filter(F.length("text") >= 3))
+    # O(len) trigram hashing over the chars->codes array (identical
+    # integer arithmetic to the per-position substring form, which paid
+    # O(len^2) string re-scans — see _BIGRAM_ARR)
+    codes = "transform(split(text, ''), c -> ascii(c))"
+    tri_h = (
+        f"transform(sequence(1, length(text) - 2),"
+        f" i -> (element_at(_codes, i) * 961"
+        f" + element_at(_codes, i + 1) * 31"
+        f" + element_at(_codes, i + 2)) % 4096)"
     )
+    tri = docs.select(
+        "lang", "text", F.expr(codes).alias("_codes")
+    ).select("lang", F.explode(F.expr(tri_h)).alias("h"))
     counts = tri.groupBy("lang", "h").agg(F.count("*").alias("n"))
     tot = counts.groupBy("lang").agg(F.sum("n").alias("n_l"))
     return counts.join(F.broadcast(tot), "lang").select(
@@ -769,14 +813,10 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer comparison score * n_docs > total — no division for the
     engines to round differently. A test pins the selection bias
     toward the target language."""
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    docs = _spread(t(spark, sf_dir, "documents").filter(F.length("text") >= 2))
 
     def _bigrams(d: DataFrame, *cols: str) -> DataFrame:
-        return d.select(
-            *cols,
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
-            "text",
-        ).select(*cols, F.expr("substring(text, i, 2)").alias("bigram"))
+        return d.select(*cols, F.explode(F.expr(_BIGRAM_ARR)).alias("bigram"))
 
     def _lm(d: DataFrame) -> DataFrame:
         counts = _bigrams(d).groupBy("bigram").agg(F.count("*").alias("n"))
