@@ -180,17 +180,22 @@ def _jaccard_pairs(corpus: DataFrame, thr: float, df_cap: int = _DF_CAP) -> Data
     worst key's fan-out at df_cap^2/2 candidate rows, so one hot shingle
     can never melt a reducer. Jaccard denominators use the UNCAPPED
     shingle counts (sizes are computed before pruning)."""
-    # two fixes measured together 18 -> ~1.5 s at sf0.1 (r6):
-    # - repartition the corpus first: the documents table is a single
-    #   small file, so the (expensive) tokenize+shingle expressions
-    #   otherwise run in ONE scan task regardless of core count;
+    # three fixes measured together 18 -> ~1.5 s at sf0.1 (r6):
+    # - repartition + localCheckpoint the corpus first: the documents
+    #   table is a single small file, so the (expensive) tokenize+shingle
+    #   expressions otherwise run in ONE scan task regardless of core
+    #   count — and the checkpoint is the pushdown BARRIER that stops
+    #   explode()'s injected size(arr)>0 filter from dragging the whole
+    #   shingle expression below the repartition into that single scan
+    #   task (see text._spread);
     # - localCheckpoint the exploded shingles: the frame feeds sizes,
     #   the hot-shingle cap AND both self-join sides — five lineage
     #   re-evaluations of the shingle expressions without it (the
     #   staged-fingerprint discipline the audio dedup path already uses).
     sc = corpus.sparkSession.sparkContext
+    corpus = corpus.repartition(2 * sc.defaultParallelism).localCheckpoint()
     sh_all = (
-        _with_shingles(corpus.repartition(2 * sc.defaultParallelism))
+        _with_shingles(corpus)
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .localCheckpoint()
     )

@@ -35,9 +35,18 @@ def _spread(df: DataFrame) -> DataFrame:
     core count. A 2 MB round-robin shuffle is noise next to the
     expression work it parallelizes; every consumer below is
     layout-invariant by construction (decimal sums / integer counts /
-    map-only rows)."""
+    map-only rows).
+
+    The localCheckpoint is the PUSHDOWN BARRIER, not (only) a cache:
+    explode() injects a `size(arr) > 0 AND isnotnull(arr)` filter on its
+    input, and Catalyst pushes that predicate through the repartition
+    into the scan — evaluating the whole array expression (several times,
+    once per sub-expression reference) in the single scan task, which is
+    exactly what the repartition was meant to prevent (the JVM-expression
+    twin of the r5 ArrowEvalPython clone trap). A checkpointed 2 MB
+    corpus costs one tiny job and pins every expression above it."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(2 * sc.defaultParallelism)
+    return df.repartition(2 * sc.defaultParallelism).localCheckpoint()
 
 
 # bigram explode over a chars ARRAY: `substring(text, i, 2)` per position
@@ -857,6 +866,10 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bigrams",
             (diff * 1000000).cast("long").alias("score_micro"),
         )
+        # doc-sized frame read TWICE below (global total + selection):
+        # pin it, or the whole score pipeline (bigram explode + two
+        # broadcast-LM joins) re-executes for each reference
+        .localCheckpoint()
     )
     tot = per_doc.agg(
         F.count("*").alias("n_docs"), F.sum("score_micro").alias("total")
