@@ -2,9 +2,10 @@
 contract; bench.py stays frozen. Usage:
 
   python bench_extra.py sweep_times [sf_dir]   # time all registry queries
-  python bench_extra.py stages                 # isolate qc-pipeline stages
 
-Prints one JSON line per mode. Methodology mirrors bench.py: warm page
+(qc-pipeline stage isolation was done with ad-hoc in-session A/Bs — see
+OPTIMIZATION_r06.md — not a mode here.) Prints one JSON line per mode;
+an unknown mode exits 2 with a message. Methodology mirrors bench.py: warm page
 cache, get_spark(local[$SPARK_GRAFT_CPUS]), noop sinks, min-of-2 where a
 key crosses the vdisk.
 """
@@ -49,4 +50,7 @@ def sweep_times(sf_dir: str) -> int:
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "sweep_times"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    sys.exit(sweep_times(sf) if mode == "sweep_times" else 1)
+    if mode != "sweep_times":
+        print(f"unknown mode {mode!r}; modes: sweep_times", file=sys.stderr)
+        sys.exit(2)
+    sys.exit(sweep_times(sf))

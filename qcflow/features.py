@@ -106,8 +106,12 @@ def align_transcript_segments(df: DataFrame, win_ms: int = 400) -> DataFrame:
     # sr=22050, win_ms=30: 661.5 -> 661 vs 662), silently mislabeling
     # segments through the CLI's --win-ms (advisor r5 finding). All
     # VALID_SR x 400 ms grids are exact integers, so default-path output
-    # is unchanged.
-    win_n = F.bround(sr_eff * win_ms / 1000.0).cast("long")
+    # is unchanged. greatest(1, ...) mirrors segment_clips' max(1, ...)
+    # clamp — a degenerate --win-ms that rounds to 0 must land on the
+    # same 1-sample grid there AND here, not DIVIDE_BY_ZERO below.
+    win_n = F.greatest(
+        F.lit(1).cast("long"), F.bround(sr_eff * win_ms / 1000.0).cast("long")
+    )
     n_full = (F.col("n_samples") / F.col("win_n")).cast("long")
     rem = F.col("n_samples") - n_full * F.col("win_n")
     min_keep = F.greatest(F.lit(1), F.ceil(F.col("win_n") / 2.0).cast("long"))

@@ -226,9 +226,11 @@ DROP_COLS = ["clip_id", "bucket", "lang", "lang_conf", "drop_reasons"]
 def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
     """Materialize kept/dropped/metrics/lineage. Returns counts.
 
-    Writes repartition on bucket first so each bucket directory gets ONE
-    file instead of one per upstream task (tasks x buckets tiny files is
-    the classic partitioned-write mistake at scale).
+    Writes cluster rows by bucket (rebalance hint) so each bucket
+    directory gets contiguous, data-sized files instead of one per
+    upstream task (tasks x buckets tiny files is the classic
+    partitioned-write mistake at scale); oversized buckets may split
+    into several files, which is the correct at-scale behavior.
 
     The one-shot output uses the SAME manifest schema as the resumable
     path (snapshot_id=0 everywhere, lineage kind='append'), so
@@ -302,16 +304,31 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         # keep the empty-input table contract: a schema-complete empty
         # partials table (the Spark path wrote one too)
         partials = pd.DataFrame({n: [] for n, _ in _PARTIALS_SPEC})
+    tag = "snap0000000000"
     if mode == "overwrite":
         import shutil
 
         for tbl in ("metrics_partials", "lineage"):
             shutil.rmtree(f"{out_dir}/{tbl}.parquet", ignore_errors=True)
+    else:
+        # append mode: every one-shot run carries snapshot_id=0, so the
+        # fixed file name would os.replace the PREVIOUS run's partials
+        # and lineage while kept/dropped rows still accumulate —
+        # uniquify the tag per run; finalize_metrics sums duplicate
+        # (snapshot, bucket) partials, matching the accumulated rows
+        import glob as _glob
+
+        seq = max(
+            len(_glob.glob(f"{out_dir}/{t}.parquet/part-{tag}*.parquet"))
+            for t in ("metrics_partials", "lineage")
+        )
+        if seq:
+            tag = f"{tag}-{seq:04d}"
     _append_parquet_file(
         f"{out_dir}/metrics_partials.parquet",
         partials,
         _PARTIALS_PA_SCHEMA,
-        "snap0000000000",
+        tag,
     )
     lin_pdf = pd.DataFrame(
         [(0, "append", b, *by_bucket[b]) for b in sorted(by_bucket)],
@@ -323,7 +340,7 @@ def write_outputs(res: QcResult, out_dir: str, mode: str = "overwrite") -> dict:
         f"{out_dir}/lineage.parquet",
         lin_pdf,
         _LINEAGE_PA_SCHEMA,
-        "snap0000000000",
+        tag,
     )
     # final merged metrics tables — pandas kernels, zero Spark jobs
     finalize_metrics(spark, out_dir)

@@ -694,3 +694,24 @@ def test_band_features_ann_bridge(spark):
     assert np.frombuffer(bytes(got[0]["feat_bytes"]), dtype=np.float32).tolist() == v[0].tolist()
     cos = lambda x, y: float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))  # noqa: E731
     assert cos(v[0], v[1]) > cos(v[0], v[2]) + 0.05
+
+
+def test_align_transcript_segments_degenerate_win_clamps_to_one(spark):
+    """A --win-ms that rounds to a 0-sample window must clamp to the
+    SAME 1-sample grid udfs.segment_clips uses (max(1, round(...))) —
+    the unclamped column form divided by zero under ANSI mode instead
+    (r6 review finding). win_ms=0: every sample is its own segment, so
+    alignment runs on the win_n=1 grid without throwing."""
+    from qcflow import audio
+    from qcflow.features import align_transcript_segments
+
+    n = 64
+    b = audio.pcm16_encode(np.zeros(n, dtype=np.float32))
+    df = spark.createDataFrame(
+        [("c0", bytearray(b), "pcm16", 8000, "a b")],
+        "clip_id string, bytes binary, codec string, sr_hz int, transcript string",
+    )
+    out = align_transcript_segments(df, win_ms=0).collect()
+    # win_n clamps to 1 -> n segments; word midpoints ((2k+1)*n)//(2*2)//1
+    # land at samples 16 and 48, one word each
+    assert {(r["seg_idx"], r["seg_text"]) for r in out} == {(16, "a"), (48, "b")}

@@ -400,3 +400,38 @@ def test_write_outputs_metrics_match_spark_kernels(spark, clips_t2k, tmp_path):
     kept_n = res.scored.filter(F.col("keep")).count()
     assert counts == {"n_input": total, "n_kept": kept_n}
     res.release()
+
+
+def test_write_outputs_append_accumulates_partials(spark, clips_t2k, tmp_path):
+    """Append-mode write_outputs must ACCUMULATE metrics_partials and
+    lineage across runs, exactly like the kept/dropped row tables do:
+    the one-shot path writes snapshot_id=0 bookkeeping under a fixed
+    file name, so without per-run uniquified tags the second append
+    os.replace'd the first run's partials/lineage while kept rows kept
+    accumulating — finalized metrics then disagreed with the kept table
+    (r6 review finding). finalize_metrics sums duplicate
+    (snapshot, bucket) partials, so doubled partials = doubled rows."""
+    from pyspark.sql import functions as F
+
+    from qcflow.pipeline import score_clips, write_outputs
+
+    clips = spark.read.parquet(clips_t2k).limit(400)
+    res = score_clips(spark, clips, exact_thresholds=False)
+    out = str(tmp_path / "appended")
+    write_outputs(res, out, mode="append")
+    kept_1 = spark.read.parquet(f"{out}/kept.parquet").count()
+    lin_1 = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    part_1 = spark.read.parquet(f"{out}/metrics_partials.parquet").toPandas()
+    dr_1 = spark.read.parquet(f"{out}/metrics_drop_reasons.parquet").toPandas()
+    write_outputs(res, out, mode="append")
+    res.release()
+
+    assert spark.read.parquet(f"{out}/kept.parquet").count() == 2 * kept_1
+    lin_2 = spark.read.parquet(f"{out}/lineage.parquet").toPandas()
+    part_2 = spark.read.parquet(f"{out}/metrics_partials.parquet").toPandas()
+    assert len(lin_2) == 2 * len(lin_1)
+    assert len(part_2) == 2 * len(part_1)
+    assert int(lin_2["n_kept"].sum()) == 2 * int(lin_1["n_kept"].sum())
+    # finalized metrics follow the accumulated rows (summed partials)
+    dr_2 = spark.read.parquet(f"{out}/metrics_drop_reasons.parquet").toPandas()
+    assert int(dr_2["n"].sum()) == 2 * int(dr_1["n"].sum())
